@@ -1,0 +1,91 @@
+"""Epoch-seeded, host-sharded sampling + a threaded prefetching loader.
+
+Replicates DistIterSampler semantics (data/data_sampler.py:7-60): permute
+ratio*len(dataset) indices with the epoch as seed, take every host_count-th
+starting at host_id — identical across hosts, so shards are disjoint. The
+loader assembles global batches per host shard and prefetches on threads
+(the reference's worker processes; threads suffice since decoding is
+numpy/PIL releasing the GIL)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+
+class EpochShardSampler:
+    def __init__(self, dataset_len: int, host_id: int = 0, host_count: int = 1,
+                 ratio: int = 200, base_seed: int = 0):
+        self.n = dataset_len
+        self.host_id = host_id
+        self.host_count = host_count
+        self.ratio = ratio
+        self.base_seed = base_seed
+        self.num_samples = int(np.ceil(self.n * ratio / host_count))
+        self.total = self.num_samples * host_count
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng(self.base_seed + epoch)
+        idx = rng.permutation(self.total) % self.n
+        return idx[self.host_id:self.total:self.host_count]
+
+
+class Loader:
+    """Threaded prefetching batch loader over an indexable dataset whose
+    __getitem__ takes (index, seed)."""
+
+    def __init__(self, dataset, batch_size: int, sampler: EpochShardSampler,
+                 num_workers: int = 4, prefetch: int = 4, collate=None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.collate = collate or _default_collate
+
+    def epoch(self, epoch: int) -> Iterator:
+        indices = self.sampler.epoch_indices(epoch)
+        n_batches = len(indices) // self.batch_size  # drop_last=True
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        job_q: "queue.Queue" = queue.Queue()
+        for b in range(n_batches):
+            job_q.put(b)
+
+        results = {}
+        lock = threading.Lock()
+        next_emit = [0]
+
+        def worker():
+            while True:
+                try:
+                    b = job_q.get_nowait()
+                except queue.Empty:
+                    return
+                batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                samples = [self.dataset[(int(i), (epoch << 32) ^ (b * self.batch_size + j))]
+                           for j, i in enumerate(batch_idx)]
+                batch = self.collate(samples)
+                with lock:
+                    results[b] = batch
+                    while next_emit[0] in results:
+                        out_q.put(results.pop(next_emit[0]))
+                        next_emit[0] += 1
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+        for _ in range(n_batches):
+            yield out_q.get()
+
+
+def _default_collate(samples):
+    if isinstance(samples[0], dict):
+        return {k: np.stack([s[k] for s in samples], 0) for k in samples[0]}
+    if isinstance(samples[0], tuple):
+        return tuple(np.stack([s[i] for s in samples], 0)
+                     for i in range(len(samples[0])))
+    return np.stack(samples, 0)

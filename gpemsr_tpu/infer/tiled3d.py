@@ -1,0 +1,121 @@
+"""Tiled 3-D affinity inference with Gaussian overlap blending.
+
+Capability parity with reference inference_code/data/provider_valid.py:18-311,
+re-designed device-side: the padded volume lives in HBM once, each crop is a
+dynamic_slice, the model runs on it, and a jitted accumulate step adds
+pred*weight into the running sums — no host round-trips per crop (the
+reference moves every prediction through numpy).
+
+Protocol constants (superhuman): crop [18,160,160], stride [10,80,80],
+reflect pad [4,48,48], Gaussian sigma 0.2 blending; (MALA): crop
+[53,268,268], valid-conv margin [14,106,106], outputs written unblended.
+The reference enumerates crops with its y/x axes swapped consistently
+(provider_valid.py:200-201,276-281); the grids are symmetric so the resulting
+field is identical."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class TileProtocol:
+    crop: tuple[int, int, int]
+    stride: tuple[int, int, int]
+    pad: tuple[int, int, int]                     # reflect padding per side
+    net_crop: tuple[int, int, int] = (0, 0, 0)    # output shrink per side (MALA)
+    blend: bool = True
+
+    @classmethod
+    def superhuman(cls):
+        return cls(crop=(18, 160, 160), stride=(10, 80, 80), pad=(4, 48, 48))
+
+    @classmethod
+    def mala(cls):
+        return cls(crop=(53, 268, 268), stride=(25, 56, 56), pad=(14, 106, 106),
+                   net_crop=(14, 106, 106), blend=False)
+
+    def out_size(self):
+        return tuple(self.crop[i] - 2 * self.net_crop[i] for i in range(3))
+
+    def positions(self, padded_shape):
+        """Crop-origin grid over the padded volume, clamped at the far edge
+        (provider_valid.py:174-198)."""
+        axes = []
+        for d in range(3):
+            axis = []
+            p = 0
+            while True:
+                if p + self.crop[d] >= padded_shape[d]:
+                    axis.append(padded_shape[d] - self.crop[d])
+                    break
+                axis.append(p)
+                p += self.stride[d]
+            axes.append(axis)
+        return [(z, y, x) for z in axes[0] for y in axes[1] for x in axes[2]]
+
+
+def gaussian_weight(out_size, sigma: float = 0.2) -> np.ndarray:
+    """Radial Gaussian blending weight over the output crop
+    (provider_valid.py:256-268)."""
+    zz, yy, xx = np.meshgrid(
+        *[np.linspace(-1, 1, s, dtype=np.float32) for s in out_size],
+        indexing="ij")
+    dd = np.sqrt(zz * zz + yy * yy + xx * xx)
+    return 1e-6 + np.exp(-(dd ** 2) / (2.0 * sigma ** 2))
+
+
+def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
+                out_channels: int = 3) -> np.ndarray:
+    """volume [Z, Y, X] float32 in [0,1] -> affinities [C, Z, Y, X].
+
+    apply_fn(crop[1, cz, cy, cx, 1]) -> [1, oz, oy, ox, C]."""
+    pad = proto.pad
+    padded = np.pad(volume, tuple((p, p) for p in pad), mode="reflect")
+    out_size = proto.out_size()
+    positions = proto.positions(padded.shape)
+
+    vol_dev = jnp.asarray(padded)
+    w = jnp.asarray(gaussian_weight(out_size))
+    cz, cy, cx = proto.crop
+
+    if proto.blend:
+        acc = jnp.zeros((out_channels,) + padded.shape, jnp.float32)
+        wacc = jnp.zeros(padded.shape, jnp.float32)
+
+        @jax.jit
+        def step(acc, wacc, pos):
+            crop = jax.lax.dynamic_slice(vol_dev, pos, (cz, cy, cx))
+            pred = apply_fn(crop[None, ..., None])[0].transpose(3, 0, 1, 2)
+            t = (jnp.int32(0),) + pos
+            cur = jax.lax.dynamic_slice(acc, t, (out_channels,) + out_size)
+            acc = jax.lax.dynamic_update_slice(acc, cur + pred * w, t)
+            curw = jax.lax.dynamic_slice(wacc, pos, out_size)
+            wacc = jax.lax.dynamic_update_slice(wacc, curw + w, pos)
+            return acc, wacc
+
+        for pos in positions:
+            acc, wacc = step(acc, wacc, tuple(jnp.int32(v) for v in pos))
+        out = np.asarray(acc / wacc[None])
+        return out[:, pad[0]:out.shape[1] - pad[0],
+                   pad[1]:out.shape[2] - pad[1],
+                   pad[2]:out.shape[3] - pad[2]]
+
+    # MALA: valid-conv output maps exactly onto the unpadded volume at the
+    # crop origin; crops are written without blending (provider_valid.py:283)
+    acc = jnp.zeros((out_channels,) + volume.shape, jnp.float32)
+
+    @jax.jit
+    def step_mala(acc, pos):
+        crop = jax.lax.dynamic_slice(vol_dev, pos, (cz, cy, cx))
+        pred = apply_fn(crop[None, ..., None])[0].transpose(3, 0, 1, 2)
+        return jax.lax.dynamic_update_slice(acc, pred, (jnp.int32(0),) + pos)
+
+    for pos in positions:
+        acc = step_mala(acc, tuple(jnp.int32(v) for v in pos))
+    return np.asarray(acc)

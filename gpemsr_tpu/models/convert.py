@@ -1,0 +1,253 @@
+"""Torch-checkpoint -> flax-params conversion.
+
+The reference ships pretrained checkpoints (stage1/stage2/stage3 .pth, SpyNet,
+VGG19, superhuman/MALA .pt — SURVEY §5.4). These functions map their
+state_dict key layouts onto our NHWC flax parameter trees so converted weights
+reproduce reference numerics bit-closely (validated in tests/test_convert.py
+against freshly-initialised torch oracles)."""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+import jax.numpy as jnp
+from flax.traverse_util import unflatten_dict
+
+from gpemsr_tpu.core.config import (
+    DecoderConfig, DiscriminatorConfig, EncoderConfig, IndexerConfig, PriorConfig,
+)
+
+
+def _np(t):
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def conv_w(t):
+    """torch Conv2d [Co, Ci, kh, kw] -> flax [kh, kw, Ci, Co]."""
+    return jnp.asarray(_np(t).transpose(2, 3, 1, 0))
+
+
+def conv3d_w(t):
+    """torch Conv3d [Co, Ci, kd, kh, kw] -> flax [kd, kh, kw, Ci, Co]."""
+    return jnp.asarray(_np(t).transpose(2, 3, 4, 1, 0))
+
+
+def convT_w(t):
+    """torch ConvTranspose2d [Ci, Co, kh, kw] -> our [kh, kw, Ci, Co]."""
+    return jnp.asarray(_np(t).transpose(2, 3, 0, 1))
+
+
+def linear_w(t):
+    """torch Linear [out, in] -> flax Dense [in, out]."""
+    return jnp.asarray(_np(t).T)
+
+
+def vec(t):
+    return jnp.asarray(_np(t))
+
+
+class _Tree:
+    """Accumulates (path, value) pairs into a nested params dict."""
+
+    def __init__(self):
+        self.flat = {}
+
+    def put(self, path, value):
+        key = tuple(p for p in path if p)
+        assert key not in self.flat, f"duplicate param {key}"
+        self.flat[key] = value
+
+    def conv(self, sd, src, dst, bias=True):
+        self.put(dst + ("conv", "kernel"), conv_w(sd[f"{src}.weight"]))
+        if bias and f"{src}.bias" in sd:
+            self.put(dst + ("conv", "bias"), vec(sd[f"{src}.bias"]))
+
+    def raw_conv(self, sd, src, dst, bias=True):
+        """flax nn.Conv used directly (no Conv wrapper)."""
+        self.put(dst + ("kernel",), conv_w(sd[f"{src}.weight"]))
+        if bias and f"{src}.bias" in sd:
+            self.put(dst + ("bias",), vec(sd[f"{src}.bias"]))
+
+    def convT(self, sd, src, dst):
+        self.put(dst + ("kernel",), convT_w(sd[f"{src}.weight"]))
+        if f"{src}.bias" in sd:
+            self.put(dst + ("bias",), vec(sd[f"{src}.bias"]))
+
+    def gn(self, sd, src, dst):
+        self.put(dst + ("gn", "scale"), vec(sd[f"{src}.weight"]))
+        self.put(dst + ("gn", "bias"), vec(sd[f"{src}.bias"]))
+
+    def tree(self):
+        return unflatten_dict(self.flat)
+
+
+# ---------------------------------------------------------------------------
+# Prior building blocks (reference model/blocks.py layouts)
+# ---------------------------------------------------------------------------
+
+def _resblock(t: _Tree, sd, src, dst):
+    """reference ResidualBlock: block.0 conv, block.1 GN, block.3 conv,
+    block.4 GN, optional channel_up."""
+    t.conv(sd, f"{src}.block.0", dst + ("conv1",))
+    t.gn(sd, f"{src}.block.1", dst + ("norm1",))
+    t.conv(sd, f"{src}.block.3", dst + ("conv2",))
+    t.gn(sd, f"{src}.block.4", dst + ("norm2",))
+    if f"{src}.channel_up.weight" in sd:
+        t.conv(sd, f"{src}.channel_up", dst + ("channel_up",))
+
+
+def _nonlocal(t: _Tree, sd, src, dst):
+    t.gn(sd, f"{src}.gn", dst + ("gn",))
+    for nm in ("q", "k", "v", "proj_out"):
+        t.conv(sd, f"{src}.{nm}", dst + (nm,))
+
+
+def convert_encoder(sd: Mapping, cfg: EncoderConfig, prefix="", dst=()):
+    t = _Tree()
+    _convert_encoder_into(t, sd, cfg, prefix, dst)
+    return t.tree()
+
+
+def _convert_encoder_into(t, sd, cfg, prefix, dst):
+    ch = list(cfg.channel_list)
+    t.conv(sd, f"{prefix}input_layer.0", dst + ("stem",))
+    idx = 0
+    for i in range(len(ch) - 1):
+        for j in range(cfg.num_resblock_per_scale):
+            _resblock(t, sd, f"{prefix}feat_extract.{idx}", dst + (f"res{i}_{j}",))
+            idx += 1
+        t.conv(sd, f"{prefix}feat_extract.{idx}.downblock", dst + (f"down{i}", "down"))
+        idx += 1
+    if cfg.use_non_local:
+        _nonlocal(t, sd, f"{prefix}feat_extract.{idx}", dst + ("nonlocal",))
+        idx += 1
+    for j in range(cfg.num_output_resblck):
+        _resblock(t, sd, f"{prefix}output_layer.{j}", dst + (f"out_res{j}",))
+    t.conv(sd, f"{prefix}output_layer.{cfg.num_output_resblck}", dst + ("to_latent",))
+
+
+def convert_decoder(sd: Mapping, cfg: DecoderConfig, prefix="", dst=()):
+    t = _Tree()
+    _convert_decoder_into(t, sd, cfg, prefix, dst)
+    return t.tree()
+
+
+def _convert_decoder_into(t, sd, cfg, prefix, dst):
+    ch = list(cfg.channel_list)
+    t.conv(sd, f"{prefix}input_layer.0", dst + ("from_latent",))
+    for j in range(cfg.num_input_resblck):
+        _resblock(t, sd, f"{prefix}input_layer.{j + 1}", dst + (f"in_res{j}",))
+    idx = 0
+    if cfg.use_non_local:
+        _nonlocal(t, sd, f"{prefix}feat_extract.{idx}", dst + ("nonlocal",))
+        idx += 1
+    for i in range(len(ch) - 1):
+        for j in range(cfg.num_resblock_per_scale):
+            _resblock(t, sd, f"{prefix}feat_extract.{idx}", dst + (f"res{i}_{j}",))
+            idx += 1
+        t.convT(sd, f"{prefix}feat_extract.{idx}.upblock", dst + (f"up{i}", "up"))
+        idx += 1
+    t.conv(sd, f"{prefix}output_layer", dst + ("to_img",))
+
+
+def _convert_indexer_into(t, sd, cfg: IndexerConfig, scale, prefix, dst):
+    ch = list(cfg.channel_list)
+    t.conv(sd, f"{prefix}input_layer.0", dst + ("stem",))
+    idx = 0
+    n_trans = len(ch) - 1
+    for i in range(n_trans):
+        for j in range(cfg.num_resblock_per_scale - 1):
+            _resblock(t, sd, f"{prefix}feat_extract.{idx}", dst + (f"res{i}_{j}",))
+            idx += 1
+        if scale == 8 and i == n_trans - 1:
+            t.conv(sd, f"{prefix}feat_extract.{idx}.downblock",
+                   dst + (f"down{i}", "down"))
+        else:
+            _resblock(t, sd, f"{prefix}feat_extract.{idx}", dst + (f"trans{i}",))
+        idx += 1
+    if cfg.use_non_local:
+        _nonlocal(t, sd, f"{prefix}feat_extract.{idx}", dst + ("nonlocal",))
+        idx += 1
+    for j in range(cfg.num_output_resblck):
+        _resblock(t, sd, f"{prefix}output_layer.{j}", dst + (f"out_res{j}",))
+    t.conv(sd, f"{prefix}output_layer.{cfg.num_output_resblck}", dst + ("to_latent",))
+    t.put(dst + ("classify", "kernel"), linear_w(sd[f"{prefix}embedding.weight"]))
+    t.put(dst + ("classify", "bias"), vec(sd[f"{prefix}embedding.bias"]))
+
+
+def convert_indexer(sd, cfg: IndexerConfig, scale=16, prefix="", dst=()):
+    t = _Tree()
+    _convert_indexer_into(t, sd, cfg, scale, prefix, dst)
+    return t.tree()
+
+
+def convert_discriminator(sd, cfg: DiscriminatorConfig, prefix=""):
+    t = _Tree()
+    t.raw_conv(sd, f"{prefix}model.0", ("conv0",))
+    for i in range(1, cfg.n_layers + 1):
+        t.raw_conv(sd, f"{prefix}model.{3 * i - 1}", (f"conv{i}",), bias=False)
+    t.raw_conv(sd, f"{prefix}model.{3 * cfg.n_layers + 2}", ("head",))
+    return t.tree()
+
+
+def convert_vqgan_generator(sd, cfg: PriorConfig):
+    """Stage-1 generator checkpoint (keys encoder./decoder./codebook.)."""
+    t = _Tree()
+    _convert_encoder_into(t, sd, cfg.encoder, "encoder.", ("encoder",))
+    _convert_decoder_into(t, sd, cfg.decoder, "decoder.", ("decoder",))
+    t.put(("codebook", "embedding"), vec(sd["codebook.embedding.weight"]))
+    return t.tree()
+
+
+def convert_lr_generator(sd, cfg: PriorConfig, indexer_sd=None):
+    """Stage-2 composite: stage-1 keys for encoder/decoder/codebook (loaded
+    strict=False in the reference, train_stage2.py:124) + the indexer from its
+    own checkpoint (or the same sd with `indexer.` prefix)."""
+    t = _Tree()
+    _convert_encoder_into(t, sd, cfg.encoder, "encoder.", ("encoder",))
+    _convert_decoder_into(t, sd, cfg.decoder, "decoder.", ("decoder",))
+    t.put(("codebook", "embedding"), vec(sd["codebook.embedding.weight"]))
+    if indexer_sd is not None:
+        prefix = "" if any(k.startswith("input_layer") for k in indexer_sd) \
+            else "indexer."
+        _convert_indexer_into(t, indexer_sd, cfg.indexer, cfg.scale, prefix,
+                              ("indexer",))
+    return t.tree()
+
+
+# ---------------------------------------------------------------------------
+# SpyNet / VGG19
+# ---------------------------------------------------------------------------
+
+def convert_spynet(sd, dst=(), levels=6):
+    """basicsr SpyNet: basic_module.{L}.basic_module.{2i}.weight, i in 0..4."""
+    t = _Tree()
+    for lv in range(levels):
+        for i in range(5):
+            t.raw_conv(sd, f"basic_module.{lv}.basic_module.{2 * i}",
+                       dst + (f"basic_module{lv}", f"conv{i}"))
+    return t.tree()
+
+
+_VGG_CONV_IDX = {  # torchvision vgg19 .features indices per conv
+    "conv1_1": 0, "conv1_2": 2,
+    "conv2_1": 5, "conv2_2": 7,
+    "conv3_1": 10, "conv3_2": 12, "conv3_3": 14, "conv3_4": 16,
+    "conv4_1": 19, "conv4_2": 21, "conv4_3": 23, "conv4_4": 25,
+    "conv5_1": 28, "conv5_2": 30, "conv5_3": 32, "conv5_4": 34,
+}
+
+
+def convert_vgg19(sd, max_layer="relu5_4", dst=(), prefix="features."):
+    """torchvision vgg19 state_dict (features.N.weight) -> VGG19Features."""
+    stage_of = {"relu1_2": 1, "relu2_2": 2, "relu3_4": 3, "relu4_4": 4,
+                "relu5_4": 5}[max_layer]
+    t = _Tree()
+    for name, idx in _VGG_CONV_IDX.items():
+        if int(name[4]) > stage_of:
+            continue
+        t.raw_conv(sd, f"{prefix}{idx}", dst + (name,))
+    return t.tree()

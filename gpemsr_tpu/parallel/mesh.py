@@ -1,0 +1,47 @@
+"""Device mesh + sharding helpers — the TPU-native replacement for the
+reference's NCCL DDP stack (train_stage1.py:18-25,131-134).
+
+One SPMD program over a ('data', 'spatial') mesh:
+  * 'data'    — batch sharding; XLA inserts the gradient psum that DDP's
+                allreduce performed, riding ICI.
+  * 'spatial' — optional sharding of image H for full-section inference
+                (the workload's analog of sequence parallelism, SURVEY §5.7).
+No barriers, no reduce-to-rank-0: metrics come out replicated."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, spatial: int = 1, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data == -1:
+        data = n // spatial
+    assert data * spatial <= n, f"mesh {data}x{spatial} exceeds {n} devices"
+    dev = np.asarray(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(dev, axis_names=("data", "spatial"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (batch) over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh):
+    """Device-put a host batch with axis-0 sharded over the data axis."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(tree: Any, mesh: Mesh):
+    r = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)

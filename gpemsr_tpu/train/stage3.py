@@ -1,0 +1,77 @@
+"""Stage 3 — full GPEMSR SR training (reference train_stage3.py:343-374).
+
+loss = L1(GT, SR) + ref_loss_factor * ContextualLoss(VGG relu3_4 of SR vs each
+of the N prior reference frames), with the prior (refmodel), SpyNet and VGG
+frozen. The contextual loss is computed under a lax.scan over frames so the
+(HW)^2 distance matrix exists for one frame at a time (memory: the reference
+materialises all B*N at once, train_stage3.py:358-361)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gpemsr_tpu.core.config import GPEMSRConfig, TrainConfig
+from gpemsr_tpu.models.gpemsr import GPEMSR
+from gpemsr_tpu.models.vgg import VGG19Features, normalize_for_vgg
+from gpemsr_tpu.ops.contextual import contextual_loss
+from gpemsr_tpu.train.common import TrainState, make_optimizer, merge_params, split_params
+
+FROZEN = ("refmodel", "spynet", "vgg")
+
+
+def init_stage3(rng, cfg: GPEMSRConfig, tcfg: TrainConfig, sample_lq,
+                pretrained: dict | None = None):
+    model = GPEMSR(cfg)
+    params = model.init(rng, sample_lq)["params"]
+    if pretrained:
+        for k, v in pretrained.items():
+            params[k] = v
+    trainable, frozen = split_params(params, FROZEN)
+    state = TrainState.create(trainable, make_optimizer(tcfg, tcfg.lr_G))
+    return model, state, frozen
+
+
+def make_stage3_step(model: GPEMSR, tcfg: TrainConfig):
+    vgg34 = VGG19Features(max_layer="relu3_4")
+
+    def ref_ctx_loss(vgg_params, sr, ref_imgs):
+        """Contextual loss of SR against each prior frame, scanned over N."""
+        sr3 = jnp.broadcast_to(sr, sr.shape[:-1] + (3,))
+        sr_feat = vgg34.apply({"params": vgg_params},
+                              normalize_for_vgg(sr3))["relu3_4"]
+        sr_feat = sr_feat.transpose(0, 3, 1, 2)     # NCHW for the CX op
+
+        def body(carry, ref_i):
+            r3 = jnp.broadcast_to(ref_i, ref_i.shape[:-1] + (3,))
+            rf = vgg34.apply({"params": vgg_params},
+                             normalize_for_vgg(r3))["relu3_4"]
+            cx = contextual_loss(sr_feat, rf.transpose(0, 3, 1, 2))
+            return carry + cx, None
+
+        n = ref_imgs.shape[1]
+        total, _ = jax.lax.scan(body, jnp.zeros(()),
+                                ref_imgs.transpose(1, 0, 2, 3, 4))
+        # reference computes one CX over the B*N batch => mean over frames
+        return total / n
+
+    def loss_fn(trainable, frozen, lq, gt):
+        params = merge_params(trainable, frozen)
+        sr, ref_imgs = model.apply({"params": params}, lq)
+        rec = jnp.mean(jnp.abs(gt - sr))
+        loss = tcfg.rec_loss_factor * rec
+        metrics = {"rec_loss": rec}
+        if tcfg.ref_loss_factor and ref_imgs is not None:
+            ctx = ref_ctx_loss(frozen["vgg"], sr,
+                               jax.lax.stop_gradient(ref_imgs))
+            loss = loss + tcfg.ref_loss_factor * ctx
+            metrics["ref_loss"] = ctx
+        return loss, metrics
+
+    @jax.jit
+    def step(state: TrainState, frozen, lq, gt):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, frozen, lq, gt)
+        return state.apply_gradients(grads), metrics
+
+    return step

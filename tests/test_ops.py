@@ -1,0 +1,194 @@
+"""Golden tests for core TPU ops against torch (CPU) oracles."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from gpemsr_tpu.ops import (
+    resize_bilinear, interpolate, flow_warp, pixel_shuffle, pixel_unshuffle,
+    extract_patches, deform_conv2d, torch_weight_to_dcn, quantize, lookup_logits,
+    contextual_loss,
+)
+
+
+def nchw(x_nhwc):
+    return torch.from_numpy(np.ascontiguousarray(np.transpose(x_nhwc, (0, 3, 1, 2))))
+
+
+def to_nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("align", [False, True])
+@pytest.mark.parametrize("scale", [4.0, 2.0, 0.5, 0.25])
+def test_resize_bilinear_matches_torch(rng, align, scale):
+    x = rng.standard_normal((2, 16, 12, 3), dtype=np.float32)
+    out = interpolate(jnp.asarray(x), scale, align_corners=align)
+    ref = F.interpolate(nchw(x), scale_factor=scale, mode="bilinear",
+                        align_corners=align)
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=1e-5)
+
+
+def test_resize_bilinear_odd_sizes(rng):
+    x = rng.standard_normal((1, 7, 9, 2), dtype=np.float32)
+    out = resize_bilinear(jnp.asarray(x), 13, 5, align_corners=False)
+    ref = F.interpolate(nchw(x), size=(13, 5), mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_flow_warp_matches_grid_sample(rng, padding_mode):
+    B, H, W, C = 2, 8, 10, 4
+    x = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    flow = (rng.standard_normal((B, H, W, 2)) * 3).astype(np.float32)
+
+    out = flow_warp(jnp.asarray(x), jnp.asarray(flow), padding_mode=padding_mode)
+
+    # torch oracle: build normalized grid like basicsr flow_warp
+    ty, tx = torch.meshgrid(torch.arange(H), torch.arange(W), indexing="ij")
+    grid = torch.stack((tx, ty), 2).float()[None].expand(B, -1, -1, -1)
+    vgrid = grid + torch.from_numpy(flow)
+    vx = 2.0 * vgrid[..., 0] / max(W - 1, 1) - 1.0
+    vy = 2.0 * vgrid[..., 1] / max(H - 1, 1) - 1.0
+    ref = F.grid_sample(nchw(x), torch.stack((vx, vy), dim=3), mode="bilinear",
+                        padding_mode=padding_mode, align_corners=True)
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=1e-5)
+
+
+def test_pixel_shuffle_matches_torch(rng):
+    x = rng.standard_normal((2, 4, 5, 12), dtype=np.float32)
+    out = pixel_shuffle(jnp.asarray(x), 2)
+    ref = F.pixel_shuffle(nchw(x), 2)
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=0)
+    back = pixel_unshuffle(out, 2)
+    np.testing.assert_allclose(np.asarray(back), x, atol=0)
+
+
+def test_extract_patches_matches_unfold(rng):
+    x = rng.standard_normal((2, 32, 32, 3), dtype=np.float32)
+    out = extract_patches(jnp.asarray(x), ksize=(16, 16), stride=(16, 16))
+    ref = F.unfold(nchw(x), kernel_size=16, stride=16)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-6)
+
+
+def test_extract_patches_same_padding(rng):
+    # non-divisible size exercises the reflect same-padding path
+    x = rng.standard_normal((1, 20, 20, 2), dtype=np.float32)
+    out = extract_patches(jnp.asarray(x), ksize=(16, 16), stride=(16, 16))
+    # reference same_padding: pad_total = 12, top/left = 6 (GPEMSR.py:21-28)
+    xp = F.pad(nchw(x), (6, 6, 6, 6), mode="reflect")
+    ref = F.unfold(xp, kernel_size=16, stride=16)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-6)
+
+
+def _torch_deform_conv2d(x, offset, mask, weight, bias, pad=1, groups=8):
+    """Reference modulated deformable conv via explicit per-tap grid_sample.
+
+    Oracle implementation (torchvision is unavailable); follows the DCNv2
+    definition directly."""
+    B, C, H, W = x.shape
+    Co, Ci, kh, kw = weight.shape
+    K = kh * kw
+    G = groups
+    Cg = C // G
+    off = offset.reshape(B, G, K, 2, H, W)
+    msk = mask.reshape(B, G, K, H, W)
+    ys, xs = torch.meshgrid(torch.arange(H).float(), torch.arange(W).float(),
+                            indexing="ij")
+    cols = []
+    for k in range(K):
+        ki, kj = divmod(k, kw)
+        taps = []
+        for g in range(G):
+            py = ys + (ki - pad) + off[:, g, k, 0]
+            px = xs + (kj - pad) + off[:, g, k, 1]
+            gx = 2.0 * px / max(W - 1, 1) - 1.0
+            gy = 2.0 * py / max(H - 1, 1) - 1.0
+            grid = torch.stack((gx, gy), dim=-1)
+            samp = F.grid_sample(x[:, g * Cg:(g + 1) * Cg], grid, mode="bilinear",
+                                 padding_mode="zeros", align_corners=True)
+            taps.append(samp * msk[:, g, k:k + 1])
+        cols.append(torch.cat(taps, dim=1))           # [B, C, H, W] per tap
+    col = torch.stack(cols, dim=1)                    # [B, K, C, H, W]
+    col = col.permute(0, 3, 4, 1, 2).reshape(B, H * W, K * Ci)
+    w = weight.permute(0, 2, 3, 1).reshape(Co, K * Ci)   # (k, ci) ordering
+    out = col @ w.t() + bias
+    return out.reshape(B, H, W, Co).permute(0, 3, 1, 2)
+
+
+def test_deform_conv2d_matches_reference(rng):
+    B, H, W, C, G = 1, 6, 6, 16, 4
+    K = 9
+    x = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    offset = (rng.standard_normal((B, H, W, 2 * G * K)) * 1.5).astype(np.float32)
+    mask = rng.uniform(0, 1, (B, H, W, G * K)).astype(np.float32)
+    w = (rng.standard_normal((C, C, 3, 3)) * 0.1).astype(np.float32)
+    b = rng.standard_normal(C).astype(np.float32)
+
+    out = deform_conv2d(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+                        torch_weight_to_dcn(w), jnp.asarray(b),
+                        deformable_groups=G)
+
+    ref = _torch_deform_conv2d(nchw(x), nchw(offset), nchw(mask),
+                               torch.from_numpy(w), torch.from_numpy(b), groups=G)
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=2e-4)
+
+
+def test_deform_conv_zero_offset_is_conv(rng):
+    """With zero offsets and unit mask, DCN must equal a plain 3x3 conv."""
+    B, H, W, C = 2, 8, 8, 8
+    x = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    w = (rng.standard_normal((C, C, 3, 3)) * 0.1).astype(np.float32)
+    offset = np.zeros((B, H, W, 2 * 8 * 9), np.float32)
+    mask = np.ones((B, H, W, 8 * 9), np.float32)
+    out = deform_conv2d(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+                        torch_weight_to_dcn(w), None, deformable_groups=8)
+    ref = F.conv2d(nchw(x), torch.from_numpy(w), padding=1)
+    np.testing.assert_allclose(np.asarray(out), to_nhwc(ref), atol=1e-4)
+
+
+def test_quantize_straight_through(rng):
+    import jax
+    cb = rng.standard_normal((32, 8), dtype=np.float32)
+    z = rng.standard_normal((2, 4, 4, 8), dtype=np.float32)
+    z_q, idx, loss = quantize(jnp.asarray(z), jnp.asarray(cb), beta=1.0)
+    # indices are true nearest neighbours
+    d = ((z.reshape(-1, 1, 8) - cb[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx), d.argmin(1))
+    # straight-through: dL/dz of sum(z_q) is all-ones
+    g = jax.grad(lambda zz: jnp.sum(quantize(zz, jnp.asarray(cb), 1.0)[0]))(
+        jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(g), np.ones_like(z))
+
+
+def test_lookup_logits(rng):
+    cb = rng.standard_normal((16, 4), dtype=np.float32)
+    logits = rng.standard_normal((1, 3, 3, 16), dtype=np.float32)
+    out = lookup_logits(jnp.asarray(logits), jnp.asarray(cb))
+    np.testing.assert_allclose(np.asarray(out), cb[logits.argmax(-1)])
+
+
+def test_contextual_loss_matches_torch(rng):
+    x = rng.standard_normal((2, 8, 6, 6), dtype=np.float32)
+    y = rng.standard_normal((2, 8, 6, 6), dtype=np.float32)
+    out = contextual_loss(jnp.asarray(x), jnp.asarray(y), band_width=0.5)
+
+    # torch oracle (cosine CX loss as defined in the CX paper)
+    tx, ty = torch.from_numpy(x), torch.from_numpy(y)
+    y_mu = ty.mean(dim=(0, 2, 3), keepdim=True)
+    xc, yc = tx - y_mu, ty - y_mu
+    xn = F.normalize(xc, p=2, dim=1).reshape(2, 8, -1)
+    yn = F.normalize(yc, p=2, dim=1).reshape(2, 8, -1)
+    dist = torch.clamp(1 - torch.bmm(xn.transpose(1, 2), yn), min=0)
+    dmin = dist.min(dim=2, keepdim=True)[0]
+    dt = dist / (dmin + 1e-5)
+    w = torch.exp((1 - dt) / 0.5)
+    cx = w / (w.sum(dim=2, keepdim=True) + 1e-5)
+    rm, ra = cx.max(dim=1, keepdim=True)
+    c = torch.gather(torch.exp((1 - dist) / 0.5), 1, ra)
+    val = (rm * c).squeeze(1).sum(1) / c.squeeze(1).sum(1)
+    ref = (-torch.log(val + 1e-5)).mean()
+    np.testing.assert_allclose(float(out), float(ref), atol=1e-5)

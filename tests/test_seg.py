@@ -1,0 +1,148 @@
+"""Tests for the segmentation post-processing chain (native core + metrics)."""
+
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from gpemsr_tpu.seg import native
+from gpemsr_tpu.seg.affinity import (
+    mknhood3d, seg_to_aff, seg_widen_border, weight_binary_ratio,
+)
+from gpemsr_tpu.seg.metrics import adapted_rand_error, variation_of_information
+from gpemsr_tpu.seg.watershed import relabel, watershed
+
+
+def test_edt_matches_scipy(rng):
+    mask = rng.uniform(0, 1, (37, 53)) > 0.3
+    out = native.edt2d_sq(mask)
+    ref = ndimage.distance_transform_edt(mask) ** 2
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+
+def test_label2d():
+    m = np.array([[1, 1, 0, 1],
+                  [0, 1, 0, 1],
+                  [0, 0, 0, 1],
+                  [1, 0, 1, 1]], np.uint8)
+    lab, n = native.label2d(m, conn=4)
+    assert n == 3
+    assert lab[0, 0] == lab[1, 1]
+    assert lab[0, 3] == lab[3, 3] == lab[3, 2]
+    assert lab[3, 0] not in (lab[0, 0], lab[0, 3])
+
+
+def test_regmax_plateaus():
+    img = np.array([[1, 1, 1, 1],
+                    [1, 3, 3, 1],
+                    [1, 3, 3, 1],
+                    [1, 1, 1, 2]], np.float32)
+    mx = native.regmax2d(img)
+    assert mx[1, 1] and mx[1, 2] and mx[2, 1] and mx[2, 2]
+    assert mx[3, 3]          # 2 is a regional max (no greater 4-neighbour)
+    assert not mx[0, 0]
+
+
+def test_cwatershed_two_basins():
+    surface = np.array([[0, 0, 5, 0, 0],
+                        [0, 0, 5, 0, 0],
+                        [0, 0, 5, 0, 0]], np.float32)
+    markers = np.zeros_like(surface, np.int32)
+    markers[1, 0] = 1
+    markers[1, 4] = 2
+    out = native.cwatershed2d(surface, markers)
+    assert (out[:, :2] == 1).all()
+    assert (out[:, 3:] == 2).all()
+    assert set(np.unique(out)) == {1, 2}
+
+
+def test_watershed_fragments_synthetic():
+    # two clear objects separated by a low-affinity wall
+    seg = np.zeros((2, 20, 20), np.uint64)
+    seg[:, :, :9] = 1
+    seg[:, :, 11:] = 2
+    affs = seg_to_aff(seg)
+    frags = watershed(affs)
+    # fragments should separate left/right halves in every slice
+    for z in range(2):
+        left = frags[z, :, :8]
+        right = frags[z, :, 12:]
+        assert np.unique(left).size == 1
+        assert np.unique(right).size == 1
+        assert left[0, 0] != right[0, 0]
+
+
+def test_agglomerate_merges_same_object():
+    # one object artificially split into two fragments with high affinity
+    # between them -> agglomeration should merge them, but not across the
+    # low-affinity boundary to the second object
+    Z, Y, X = 2, 8, 8
+    frag = np.zeros((Z, Y, X), np.uint64)
+    frag[:, :, :2] = 1
+    frag[:, :, 2:4] = 2     # same object as 1
+    frag[:, :, 4:] = 3      # different object
+    affs = np.ones((3, Z, Y, X), np.float32)
+    affs[2, :, :, 4] = 0.0  # wall between x=3 and x=4
+    out = native.agglomerate(frag, affs, threshold=0.5)
+    assert out[0, 0, 0] == out[0, 0, 3]
+    assert out[0, 0, 0] != out[0, 0, 5]
+
+
+def test_seg_to_aff_replicate_pad():
+    seg = np.array([[[1, 1, 2],
+                     [1, 0, 2]]], np.int64)   # [1, 2, 3]
+    aff = seg_to_aff(seg, mknhood3d(1))
+    assert aff.shape == (3, 1, 2, 3)
+    # z channel at z=0 is the foreground mask (replicate pad)
+    np.testing.assert_array_equal(aff[0, 0], (seg[0] > 0))
+    # y channel: row 1 vs row 0
+    assert aff[1, 0, 1, 0] == 1.0    # seg 1 == 1
+    assert aff[1, 0, 1, 1] == 0.0    # 0 vs 1
+    # x channel: col j vs j-1
+    assert aff[2, 0, 0, 1] == 1.0
+    assert aff[2, 0, 0, 2] == 0.0
+
+
+def test_seg_widen_border():
+    seg = np.zeros((1, 6, 6), np.int64)
+    seg[0, :, :3] = 1
+    seg[0, :, 3:] = 2
+    out = seg_widen_border(seg.copy(), tsz_h=1)
+    # voxels adjacent to the 1|2 boundary become 0
+    assert (out[0, :, 2] == 0).all()
+    assert (out[0, :, 3] == 0).all()
+    assert (out[0, :, 0] == 1).all()
+    assert (out[0, :, 5] == 2).all()
+
+
+def test_weight_binary_ratio():
+    lab = np.zeros((10, 10), np.float32)
+    lab[:2] = 1  # 20% positive
+    w = weight_binary_ratio(lab)
+    # smaller class (positives) gets weight (1-f)/f = 4
+    np.testing.assert_allclose(w[lab == 1], 4.0, rtol=1e-6)
+    np.testing.assert_allclose(w[lab == 0], 1.0)
+
+
+def test_voi_perfect_and_split():
+    gt = np.array([[1, 1, 2, 2]] * 4)
+    assert variation_of_information(gt, gt) == (0.0, 0.0)
+    seg_split = np.array([[1, 3, 2, 2]] * 4)     # splits object 1
+    s, m = variation_of_information(gt, seg_split)
+    assert s > 0 and abs(m) < 1e-9
+
+
+def test_arand_perfect_and_merge():
+    gt = np.array([[1, 1, 2, 2]] * 4)
+    are, p, r = adapted_rand_error(gt, gt)
+    assert are < 1e-9
+    seg_m = np.ones_like(gt)                      # full merge
+    are_m, p_m, r_m = adapted_rand_error(gt, seg_m)
+    assert are_m > 0.3
+    # merged seg has perfect recall (all gt pairs joined), poor precision
+    assert r_m > 0.99 and p_m < 0.7
+
+
+def test_relabel():
+    seg = np.array([[5, 5, 9], [0, 9, 9]])
+    out = relabel(seg.copy())
+    assert set(np.unique(out)) == {0, 1, 2}

@@ -1,0 +1,147 @@
+"""Training-step smoke tests: schedules vs torch oracle, stage-1 GAN
+alternation, stage-2 CE, all on tiny configs; data-parallel sharding over the
+8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpemsr_tpu.core.config import DiscriminatorConfig, TrainConfig
+from gpemsr_tpu.train.schedules import cosine_annealing_restart, multistep_restart
+from tests.test_models import tiny_prior
+
+
+def test_cosine_restart_matches_torch():
+    import torch
+    base_lr, eta_min = 4e-4, 1e-7
+    T_period = [40, 80, 120, 120, 120]
+    restarts = [40, 120, 240, 360]
+    weights = [1, 0.5, 1, 0.5]
+    sched = cosine_annealing_restart(base_lr, T_period, restarts, weights,
+                                     eta_min)
+
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    import math
+
+    class TorchCos(torch.optim.lr_scheduler._LRScheduler):
+        def __init__(self, optimizer):
+            self.T_period = T_period
+            self.T_max = T_period[0]
+            self.eta_min = eta_min
+            self.restarts = [v + 1 for v in restarts]
+            self.restart_weights = weights
+            self.last_restart = 0
+            super().__init__(optimizer, -1)
+
+        def get_lr(self):
+            if self.last_epoch == 0:
+                return self.base_lrs
+            elif self.last_epoch in self.restarts:
+                self.last_restart = self.last_epoch
+                self.T_max = self.T_period[self.restarts.index(self.last_epoch) + 1]
+                w = self.restart_weights[self.restarts.index(self.last_epoch)]
+                return [g["initial_lr"] * w for g in self.optimizer.param_groups]
+            elif (self.last_epoch - self.last_restart - 1 - self.T_max) % (
+                    2 * self.T_max) == 0:
+                return [g["lr"] + (b - self.eta_min) *
+                        (1 - math.cos(math.pi / self.T_max)) / 2
+                        for b, g in zip(self.base_lrs, self.optimizer.param_groups)]
+            return [(1 + math.cos(math.pi * (self.last_epoch - self.last_restart)
+                                  / self.T_max)) /
+                    (1 + math.cos(math.pi * ((self.last_epoch - self.last_restart)
+                                             - 1) / self.T_max)) *
+                    (g["lr"] - self.eta_min) + self.eta_min
+                    for g in self.optimizer.param_groups]
+
+    tsched = TorchCos(opt)
+    torch_lrs = []
+    for _ in range(481):
+        torch_lrs.append(opt.param_groups[0]["lr"])
+        opt.step()
+        tsched.step()
+    ours = [float(sched(s)) for s in range(481)]
+    # restart-weight parity matters most; allow small off-by-one phase slack
+    # around restart boundaries
+    mismatches = [s for s in range(481)
+                  if abs(ours[s] - torch_lrs[s]) > 2e-5 * max(1, torch_lrs[s] / 1e-5)]
+    # allow only boundary steps to differ
+    boundary = set()
+    for r in [0] + restarts:
+        boundary.update(range(r, r + 2))
+    assert all(s in boundary for s in mismatches), mismatches[:10]
+
+
+def test_multistep_restart():
+    sched = multistep_restart(1.0, milestones=[10, 20], restarts=[30],
+                              restart_weights=[0.5], gamma=0.1)
+    assert float(sched(5)) == pytest.approx(1.0)
+    assert float(sched(15)) == pytest.approx(0.1)
+    assert float(sched(25)) == pytest.approx(0.01)
+    assert float(sched(35)) == pytest.approx(0.5)
+
+
+@pytest.fixture(scope="module")
+def stage1_setup():
+    from gpemsr_tpu.train.stage1 import Stage1Trainer
+    tcfg = TrainConfig(gan_start=1, net_d_reg_every=2, T_period=[10, 10],
+                       restarts=[10], restart_weights=[1])
+    sample = jnp.zeros((2, 96, 96, 1), jnp.float32)
+    trainer = Stage1Trainer(tiny_prior(), DiscriminatorConfig(num_filters_last=8),
+                            tcfg, jax.random.PRNGKey(0), sample)
+    return trainer
+
+
+def test_stage1_alternation(stage1_setup, rng):
+    trainer = stage1_setup
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 96, 96, 1)).astype(np.float32))
+    m1 = trainer.train_step(imgs)            # step 1: pre-GAN
+    assert "rec_loss" in m1 and "d_loss_real" not in m1
+    m2 = trainer.train_step(imgs)            # step 2: GAN phase + R1 (2 % 2 == 0)
+    assert "g_gan_loss" in m2 and "d_loss_real" in m2 and "r1" in m2
+    m3 = trainer.train_step(imgs)            # step 3: GAN, no R1
+    assert "r1" not in m3 and "d_loss_fake" in m3
+    assert np.isfinite(m2["rec_loss"])
+
+
+def test_stage2_step_learns(rng):
+    from gpemsr_tpu.train.stage2 import init_stage2, make_stage2_step
+    tcfg = TrainConfig(lr_G=1e-3, T_period=[100], restarts=[], restart_weights=[])
+    lr_img = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 1)).astype(np.float32))
+    gt_img = jnp.asarray(rng.uniform(0, 1, (2, 128, 128, 1)).astype(np.float32))
+    model, state, frozen = init_stage2(jax.random.PRNGKey(0), tiny_prior(),
+                                       tcfg, lr_img, gt_img)
+    step = make_stage2_step(model)
+    state, m0 = step(state, frozen, lr_img, gt_img)
+    for _ in range(3):
+        state, m = step(state, frozen, lr_img, gt_img)
+    assert m["ce_loss"] < m0["ce_loss"]       # optimizes the CE objective
+    # frozen params untouched by construction (not in the optimizer)
+    assert set(frozen.keys()) == {"encoder", "decoder", "codebook"}
+
+
+def test_stage1_data_parallel_mesh(rng):
+    """Batch sharded over the 8-device mesh: the loss mean implies the psum
+    gradient reduction DDP did; params stay replicated."""
+    from gpemsr_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+    from gpemsr_tpu.train.stage1 import create_models, init_states, make_g_step
+    tcfg = TrainConfig(T_period=[10], restarts=[], restart_weights=[])
+    gen, disc = create_models(tiny_prior(), DiscriminatorConfig(num_filters_last=8))
+    sample = jnp.zeros((8, 96, 96, 1), jnp.float32)
+    g_state, d_state = init_states(jax.random.PRNGKey(0), gen, disc, tcfg, sample)
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    g_state = replicate(g_state, mesh)
+    d_params = replicate(d_state.params, mesh)
+    imgs = shard_batch(
+        jnp.asarray(rng.uniform(0, 1, (8, 96, 96, 1)).astype(np.float32)), mesh)
+    step = make_g_step(gen, disc, tcfg, use_gan=False)
+    new_state, _, metrics = step(g_state, d_params, imgs)
+    assert np.isfinite(float(metrics["rec_loss"]))
+    # compare against single-device result
+    step_local = make_g_step(gen, disc, tcfg, use_gan=False)
+    local_state, _, local_metrics = step_local(
+        jax.device_get(g_state), jax.device_get(d_params), jax.device_get(imgs))
+    np.testing.assert_allclose(float(metrics["rec_loss"]),
+                               float(local_metrics["rec_loss"]), rtol=1e-5)
