@@ -1,0 +1,69 @@
+"""Benchmark: GPEMSR x16 full-section SR inference throughput on one TPU chip.
+
+Workload = the reference's headline inference path (output_GPEMSR.py): a
+5-frame 64x64 LR window -> one 1024x1024 SR section. Metric is output
+megapixels per second, single chip, steady state.
+
+vs_baseline compares against an A100 estimate for the reference PyTorch
+implementation: the repo publishes no numbers (BASELINE.md), so we use a
+conservative 2.0 MPix/s figure for an EDVR-class multi-frame network with
+4 DCN stages + VQGAN prior decode + VGG masking at 1024^2 on A100
+(~0.5 s/section). Replace with a measured figure when available.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_BASELINE_MPIX_S = 2.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_cfg
+    from gpemsr_tpu.models.gpemsr import GPEMSR
+
+    cfg = _flagship_cfg()
+    model = GPEMSR(cfg)
+
+    h = w = 64                     # full-section LR size (1024 / 16)
+    lq0 = jnp.zeros((1, 5, 16, 16, 1), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), lq0)
+
+    @jax.jit
+    def fwd(lq):
+        sr, _ = model.apply(params, lq)
+        return sr
+
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.uniform(0, 1, (1, 5, h, w, 1)).astype(np.float32))
+
+    # warmup / compile
+    fwd(lq).block_until_ready()
+    fwd(lq).block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(lq)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    mpix = (h * 16) * (w * 16) / 1e6
+    value = mpix * iters / dt
+    print(json.dumps({
+        "metric": "sr_x16_inference_throughput",
+        "value": round(value, 3),
+        "unit": "megapixels/sec/chip",
+        "vs_baseline": round(value / A100_BASELINE_MPIX_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

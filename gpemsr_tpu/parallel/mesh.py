@@ -17,6 +17,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def ensure_cpu_devices(n: int) -> None:
+    """Force a clean n-device CPU JAX, even if another backend (e.g. this
+    container's eagerly-registered TPU plugin) already initialised. Safe to
+    call multiple times; no-op if already satisfied."""
+    import jax
+    from jax._src import xla_bridge as xb
+
+    devs = jax.devices()
+    if devs[0].platform == "cpu" and len(devs) >= n:
+        return
+    xb._clear_backends()
+    xb.get_backend.cache_clear()       # _clear_backends misses this memo
+    try:
+        jax.config.update("jax_num_cpu_devices", n)
+    except RuntimeError:
+        pass
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= n, (
+        f"could not provision {n} CPU devices (have {len(jax.devices())})")
+
+
 def make_mesh(data: int = -1, spatial: int = 1, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)

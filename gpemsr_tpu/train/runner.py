@@ -1,0 +1,284 @@
+"""Stage training loops: data, steps, validation, checkpointing, logging.
+
+The orchestration layer the reference spreads over train_stage{1,2,3}.py,
+unified: epoch-seeded sharded sampling, jitted SPMD steps, PSNR validation
+(full sections, quarter-tiled to bound memory like train_stage3.py:218-246),
+atomic checkpoints every save_checkpoint_freq with resume-from-latest."""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpemsr_tpu.core import checkpoint as ckpt
+from gpemsr_tpu.core.config import ExperimentConfig
+from gpemsr_tpu.core.logging import MetricsWriter, setup_logger
+from gpemsr_tpu.data.datasets import CREMIDataset, IndexerDataset, VQGANDataset
+from gpemsr_tpu.data.sampler import EpochShardSampler, Loader
+from gpemsr_tpu.utils.image import tensor2img
+from gpemsr_tpu.utils.metrics import calculate_psnr
+
+
+def quarter_tiles(img: np.ndarray):
+    """Split ...HWC into 4 quadrants (train_stage2.py:229-257 protocol)."""
+    H, W = img.shape[-3], img.shape[-2]
+    h2, w2 = H // 2, W // 2
+    return [img[..., :h2, :w2, :], img[..., :h2, w2:, :],
+            img[..., h2:, :w2, :], img[..., h2:, w2:, :]]
+
+
+def reassemble_quarters(tiles, out_h, out_w):
+    top = np.concatenate([tiles[0], tiles[1]], axis=-2)
+    bot = np.concatenate([tiles[2], tiles[3]], axis=-2)
+    return np.concatenate([top, bot], axis=-3)
+
+
+def psnr_of(pred: np.ndarray, target: np.ndarray) -> float:
+    return calculate_psnr(tensor2img(pred), tensor2img(target))
+
+
+class StageRunner:
+    """Common loop scaffolding; stage specifics are injected callables."""
+
+    def __init__(self, cfg: ExperimentConfig, train_step: Callable,
+                 validate: Callable, state_pack: Callable,
+                 state_unpack: Callable, loader: Loader):
+        self.cfg = cfg
+        self.train_step = train_step
+        self.validate = validate
+        self.state_pack = state_pack
+        self.state_unpack = state_unpack
+        self.loader = loader
+        self.exp_dir = os.path.join(cfg.root, cfg.name)
+        self.ckpt_dir = os.path.join(self.exp_dir, "checkpoints")
+        self.logger = setup_logger("gpemsr", os.path.join(self.exp_dir, "log"))
+        self.metrics = MetricsWriter(os.path.join(self.exp_dir, "metrics.jsonl"))
+
+    def maybe_resume(self) -> int:
+        step = ckpt.latest_step(self.ckpt_dir)
+        if step is not None:
+            self.logger.info("resuming from step %d", step)
+            self.state_unpack(ckpt.restore(self.ckpt_dir, step))
+            return step
+        return self.cfg.train.current_step
+
+    def run(self):
+        t = self.cfg.train
+        step = self.maybe_resume()
+        batches_per_epoch = max(1, self.loader.sampler.num_samples
+                                // self.loader.batch_size)
+        epoch = step // batches_per_epoch
+        while step < t.niter:
+            for batch in self.loader.epoch(epoch):
+                step += 1
+                if step > t.niter:
+                    break
+                metrics = self.train_step(step, batch)
+                if step % t.logger_freq == 0:
+                    self.metrics.write(step, **metrics)
+                    self.logger.info("step %d: %s", step, {
+                        k: round(float(v), 5) for k, v in metrics.items()})
+                if step % t.val_freq == 0:
+                    val = self.validate(step)
+                    self.metrics.write(step, **val)
+                    self.logger.info("validation @%d: %s", step, val)
+                if step % self.cfg.save_checkpoint_freq == 0:
+                    ckpt.save(self.ckpt_dir, step, self.state_pack(),
+                              keep=self.cfg.keep_checkpoints)
+            epoch += 1
+        self.logger.info("training done at step %d", min(step, t.niter))
+
+
+# ---------------------------------------------------------------------------
+# Stage-specific runners
+# ---------------------------------------------------------------------------
+
+def run_stage1(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1):
+    from gpemsr_tpu.core.config import prior_config_from_reference_dict
+    from gpemsr_tpu.train.stage1 import Stage1Trainer
+
+    prior_cfg = cfg.network.prior
+    ds_cfg = cfg.datasets["train"]
+    dataset = VQGANDataset(ds_cfg, train=True)
+    sampler = EpochShardSampler(len(dataset), host_id, host_count,
+                                base_seed=cfg.train.manual_seed)
+    loader = Loader(dataset, ds_cfg.batch_size, sampler, ds_cfg.n_workers)
+
+    gs = ds_cfg.GT_size
+    sample = jnp.zeros((ds_cfg.batch_size, gs, gs, 1), jnp.float32)
+    trainer = Stage1Trainer(prior_cfg, cfg.discriminator, cfg.train,
+                            jax.random.PRNGKey(cfg.train.manual_seed), sample)
+
+    val_set = VQGANDataset(cfg.datasets["val"], train=False) \
+        if "val" in cfg.datasets else None
+
+    @jax.jit
+    def gen_fwd(params, imgs):
+        dec, _, _ = trainer.gen.apply({"params": params}, imgs)
+        return dec
+
+    def validate(step):
+        if val_set is None:
+            return {}
+        psnrs = []
+        for i in range(len(val_set)):
+            img = val_set[i][None]
+            dec = np.asarray(gen_fwd(trainer.g_state.params, jnp.asarray(img)))
+            psnrs.append(psnr_of(dec[0], img[0]))
+        return {"psnr_avg": float(np.mean(psnrs))}
+
+    def train_step(step, batch):
+        return trainer.train_step(jnp.asarray(batch))
+
+    def pack():
+        return {"g": jax.device_get(trainer.g_state.params),
+                "d": jax.device_get(trainer.d_state.params),
+                "g_opt": jax.device_get(trainer.g_state.opt_state),
+                "d_opt": jax.device_get(trainer.d_state.opt_state),
+                "step": trainer.step}
+
+    def unpack(payload):
+        trainer.g_state = trainer.g_state.replace(
+            params=payload["g"], opt_state=payload["g_opt"])
+        trainer.d_state = trainer.d_state.replace(
+            params=payload["d"], opt_state=payload["d_opt"])
+        trainer.step = payload["step"]
+
+    runner = StageRunner(cfg, train_step, validate, pack, unpack, loader)
+    runner.run()
+    return trainer
+
+
+def run_stage2(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
+               stage1_params=None):
+    from gpemsr_tpu.train.stage2 import init_stage2, make_stage2_step
+
+    ds_cfg = cfg.datasets["train"]
+    dataset = IndexerDataset(ds_cfg, cfg.scale, train=True)
+    sampler = EpochShardSampler(len(dataset), host_id, host_count,
+                                base_seed=cfg.train.manual_seed)
+    loader = Loader(dataset, ds_cfg.batch_size, sampler, ds_cfg.n_workers)
+
+    gs = ds_cfg.GT_size
+    ls = gs // cfg.scale
+    lr0 = jnp.zeros((ds_cfg.batch_size, ls, ls, 1), jnp.float32)
+    gt0 = jnp.zeros((ds_cfg.batch_size, gs, gs, 1), jnp.float32)
+    model, state, frozen = init_stage2(
+        jax.random.PRNGKey(cfg.train.manual_seed), cfg.network.prior,
+        cfg.train, lr0, gt0, pretrained_params=stage1_params)
+    step_fn = make_stage2_step(model)
+
+    val_set = IndexerDataset(cfg.datasets["val"], cfg.scale, train=False) \
+        if "val" in cfg.datasets else None
+
+    state_box = {"state": state}
+
+    @jax.jit
+    def ref_fwd(trainable, lr_img):
+        from gpemsr_tpu.train.common import merge_params
+        params = merge_params(trainable, frozen)
+        return model.apply({"params": params}, lr_img, method=model.output_ref)
+
+    def validate(step):
+        if val_set is None:
+            return {}
+        psnrs = []
+        for i in range(len(val_set)):
+            gt, lr = val_set[i]
+            outs = [np.asarray(ref_fwd(state_box["state"].params,
+                                       jnp.asarray(q[None])))[0]
+                    for q in quarter_tiles(lr)]
+            full = reassemble_quarters(outs, gt.shape[0], gt.shape[1])
+            psnrs.append(psnr_of(full, gt))
+        return {"psnr_avg": float(np.mean(psnrs))}
+
+    def train_step(step, batch):
+        gt, lr = batch
+        state_box["state"], m = step_fn(state_box["state"], frozen,
+                                        jnp.asarray(lr), jnp.asarray(gt))
+        return {k: float(v) for k, v in m.items()}
+
+    def pack():
+        s = state_box["state"]
+        return {"params": jax.device_get(s.params),
+                "opt": jax.device_get(s.opt_state),
+                "frozen": jax.device_get(frozen),
+                "step": int(s.step)}
+
+    def unpack(payload):
+        state_box["state"] = state_box["state"].replace(
+            params=payload["params"], opt_state=payload["opt"])
+
+    runner = StageRunner(cfg, train_step, validate, pack, unpack, loader)
+    runner.run()
+    return model, state_box["state"], frozen
+
+
+def run_stage3(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
+               pretrained=None):
+    from gpemsr_tpu.train.stage3 import init_stage3, make_stage3_step
+
+    ds_cfg = cfg.datasets["train"]
+    dataset = CREMIDataset(ds_cfg, cfg.scale, train=True)
+    sampler = EpochShardSampler(len(dataset), host_id, host_count,
+                                base_seed=cfg.train.manual_seed)
+    loader = Loader(dataset, ds_cfg.batch_size, sampler, ds_cfg.n_workers)
+
+    ls = ds_cfg.LQ_size
+    lq0 = jnp.zeros((ds_cfg.batch_size, ds_cfg.N_frames, ls, ls, 1), jnp.float32)
+    model, state, frozen = init_stage3(
+        jax.random.PRNGKey(cfg.train.manual_seed), cfg.network, cfg.train,
+        lq0, pretrained=pretrained)
+    step_fn = make_stage3_step(model, cfg.train)
+
+    val_set = CREMIDataset(cfg.datasets["val"], cfg.scale, train=False) \
+        if "val" in cfg.datasets else None
+
+    state_box = {"state": state}
+
+    @jax.jit
+    def sr_fwd(trainable, lq):
+        from gpemsr_tpu.train.common import merge_params
+        model_frozen = {k: v for k, v in frozen.items() if k != "cx_vgg"}
+        params = merge_params(trainable, model_frozen)
+        sr, _ = model.apply({"params": params}, lq)
+        return sr
+
+    def validate(step):
+        if val_set is None:
+            return {}
+        psnrs = []
+        for i in range(len(val_set)):
+            item = val_set[i]
+            lq, gt = item["LQ"], item["GT"]
+            outs = [np.asarray(sr_fwd(state_box["state"].params,
+                                      jnp.asarray(q[None])))[0]
+                    for q in quarter_tiles(lq)]
+            full = reassemble_quarters(outs, gt.shape[0], gt.shape[1])
+            psnrs.append(psnr_of(full, gt))
+        return {"psnr_avg": float(np.mean(psnrs))}
+
+    def train_step(step, batch):
+        state_box["state"], m = step_fn(state_box["state"], frozen,
+                                        jnp.asarray(batch["LQ"]),
+                                        jnp.asarray(batch["GT"]))
+        return {k: float(v) for k, v in m.items()}
+
+    def pack():
+        s = state_box["state"]
+        return {"params": jax.device_get(s.params),
+                "opt": jax.device_get(s.opt_state),
+                "frozen": jax.device_get(frozen),
+                "step": int(s.step)}
+
+    def unpack(payload):
+        state_box["state"] = state_box["state"].replace(
+            params=payload["params"], opt_state=payload["opt"])
+
+    runner = StageRunner(cfg, train_step, validate, pack, unpack, loader)
+    runner.run()
+    return model, state_box["state"], frozen

@@ -28,6 +28,17 @@ def init_stage3(rng, cfg: GPEMSRConfig, tcfg: TrainConfig, sample_lq,
         for k, v in pretrained.items():
             params[k] = v
     trainable, frozen = split_params(params, FROZEN)
+    # separate relu3_4 VGG for the contextual loss (the reference reuses the
+    # model's full VGG19; ours only materialises relu1_2 for the mask branch,
+    # so the CX loss gets its own frozen tree — convert the same torch VGG19
+    # checkpoint into both)
+    if tcfg.ref_loss_factor:
+        vgg34 = VGG19Features(max_layer="relu3_4")
+        h = sample_lq.shape[2] * cfg.scale
+        w = sample_lq.shape[3] * cfg.scale
+        cx_sample = jnp.zeros((1, h, w, 3), jnp.float32)
+        frozen["cx_vgg"] = vgg34.init(
+            jax.random.fold_in(rng, 7), cx_sample)["params"]
     state = TrainState.create(trainable, make_optimizer(tcfg, tcfg.lr_G))
     return model, state, frozen
 
@@ -56,13 +67,14 @@ def make_stage3_step(model: GPEMSR, tcfg: TrainConfig):
         return total / n
 
     def loss_fn(trainable, frozen, lq, gt):
-        params = merge_params(trainable, frozen)
+        model_frozen = {k: v for k, v in frozen.items() if k != "cx_vgg"}
+        params = merge_params(trainable, model_frozen)
         sr, ref_imgs = model.apply({"params": params}, lq)
         rec = jnp.mean(jnp.abs(gt - sr))
         loss = tcfg.rec_loss_factor * rec
         metrics = {"rec_loss": rec}
         if tcfg.ref_loss_factor and ref_imgs is not None:
-            ctx = ref_ctx_loss(frozen["vgg"], sr,
+            ctx = ref_ctx_loss(frozen["cx_vgg"], sr,
                                jax.lax.stop_gradient(ref_imgs))
             loss = loss + tcfg.ref_loss_factor * ctx
             metrics["ref_loss"] = ctx

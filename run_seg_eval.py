@@ -1,0 +1,71 @@
+"""Downstream segmentation evaluation CLI (reference inference_code/inference_seg.py):
+tiled 3-D affinity inference + watershed + agglomeration + VOI/ARAND.
+
+Usage: python run_seg_eval.py -c configs/seg_x16_superhuman.yml \
+          [--ckpt path/to/converted_params.pkl] [--out Result/...]"""
+
+import argparse
+
+from gpemsr_tpu.core.platform import init_platform
+
+init_platform()
+import os
+import pickle
+
+import numpy as np
+
+from gpemsr_tpu.core.config import SegConfig, load_yaml
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpemsr_tpu.models.seg.mala import UNetMALA
+    from gpemsr_tpu.models.seg.superhuman import UNetSuperhuman
+    from gpemsr_tpu.seg.inference import (evaluate_segmentation, load_labels,
+                                          load_sr_volume)
+
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--cfg", type=str, required=True)
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="pickled flax params (e.g. converted from torch .pt)")
+    p.add_argument("--out", type=str, default=None)
+    p.add_argument("-ts", "--test-split", type=int, default=None)
+    args = p.parse_args()
+    cfg = load_yaml(args.cfg, SegConfig)
+    if args.test_split:
+        cfg.data.test_split = args.test_split
+
+    if cfg.model.model_type == "superhuman":
+        model = UNetSuperhuman(filters=tuple(cfg.model.filters),
+                               out_planes=cfg.model.output_nc,
+                               if_sigmoid=cfg.model.if_sigmoid)
+        sample = jnp.zeros((1, 18, 160, 160, 1), jnp.float32)
+    else:
+        model = UNetMALA(out_planes=cfg.model.output_nc,
+                         if_sigmoid=cfg.model.if_sigmoid)
+        sample = jnp.zeros((1, 53, 268, 268, 1), jnp.float32)
+
+    if args.ckpt:
+        with open(args.ckpt, "rb") as f:
+            variables = pickle.load(f)
+    else:
+        print("WARNING: no checkpoint given; using random init (protocol "
+              "smoke-run only)")
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
+
+    apply_fn = jax.jit(lambda x: model.apply(variables, x))
+
+    raw = load_sr_volume(cfg.data.data_folder, cfg.data.im_path,
+                         test_split=cfg.data.test_split)
+    labels = load_labels(os.path.join(cfg.data.data_folder,
+                                      cfg.data.label_file),
+                         cfg.data.test_split)
+    out_dir = args.out or os.path.join("Result", cfg.model.model_type)
+    scores = evaluate_segmentation(apply_fn, raw, labels, cfg, out_dir)
+    print(scores.line())
+
+
+if __name__ == "__main__":
+    main()
