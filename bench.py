@@ -22,12 +22,17 @@ A100_BASELINE_MPIX_S = 2.0
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from __graft_entry__ import _flagship_cfg
     from gpemsr_tpu.models.gpemsr import GPEMSR
+    from gpemsr_tpu.utils.precision import bf16_inference
+
+    use_bf16 = "--f32" not in sys.argv
 
     cfg = _flagship_cfg()
     model = GPEMSR(cfg)
@@ -36,10 +41,14 @@ def main():
     lq0 = jnp.zeros((1, 5, 16, 16, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), lq0)
 
-    @jax.jit
-    def fwd(lq):
-        sr, _ = model.apply(params, lq)
-        return sr
+    if use_bf16:
+        inner = bf16_inference(lambda p, x: model.apply(p, x)[0], params)
+        fwd = jax.jit(inner)
+    else:
+        @jax.jit
+        def fwd(lq):
+            sr, _ = model.apply(params, lq)
+            return sr
 
     rng = np.random.default_rng(0)
     lq = jnp.asarray(rng.uniform(0, 1, (1, 5, h, w, 1)).astype(np.float32))

@@ -11,6 +11,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <cmath>
 #include <limits>
 #include <queue>
@@ -328,6 +329,82 @@ void agglomerate(const uint64_t* frags, const float* affs,
 
   for (int64_t p = 0; p < n; p++)
     out[p] = orig[uf.find(dense[p])];
+}
+
+// ---------------------------------------------------------------------------
+// MALIS maximin edge weights (em_segLib.seg_malis role, utils/malis_loss.py).
+// Kruskal-style: process edges in descending affinity; when an edge merges
+// two trees, it is the maximin edge for every voxel pair that spans them.
+// pos=1 counts same-(nonzero)-label pairs, pos=0 counts
+// different-or-background pairs. Output: per-edge pair counts.
+// ---------------------------------------------------------------------------
+
+void malis_weights(const float* affs, const uint32_t* seg,
+                   int z, int y, int x, int pos, float* out) {
+  const int64_t n = (int64_t)z * y * x;
+  const int64_t strides[3] = {(int64_t)y * x, x, 1};
+  const int dims[3] = {z, y, x};
+
+  struct Edge { float aff; int64_t from; int8_t dir; };
+  std::vector<Edge> edges;
+  edges.reserve(3 * n);
+  for (int d = 0; d < 3; d++)
+    for (int zz = 0; zz < z; zz++)
+      for (int yy = 0; yy < y; yy++)
+        for (int xx = 0; xx < x; xx++) {
+          int c[3] = {zz, yy, xx};
+          if (c[d] + 1 >= dims[d]) continue;
+          int64_t p = (int64_t)zz * strides[0] + yy * strides[1] + xx;
+          // edge between p and p+stride, affinity stored at the higher voxel
+          edges.push_back({affs[d * n + p + strides[d]], p, (int8_t)d});
+        }
+  std::sort(edges.begin(), edges.end(),
+            [](const Edge& a, const Edge& b) { return a.aff > b.aff; });
+
+  std::vector<int64_t> parent(n);
+  std::vector<int64_t> rank_(n, 0);
+  for (int64_t i = 0; i < n; i++) parent[i] = i;
+  std::function<int64_t(int64_t)> find = [&](int64_t v) {
+    while (parent[v] != v) { parent[v] = parent[parent[v]]; v = parent[v]; }
+    return v;
+  };
+  // per-root label histogram (label -> count); label 0 = background
+  std::vector<std::unordered_map<uint32_t, int64_t>> hist(n);
+  for (int64_t i = 0; i < n; i++) hist[i][seg[i]] = 1;
+
+  std::fill(out, out + 3 * n, 0.0f);
+  for (const Edge& e : edges) {
+    int64_t a = find(e.from);
+    int64_t b = find(e.from + strides[e.dir]);
+    if (a == b) continue;
+    if (hist[a].size() < hist[b].size()) std::swap(a, b);
+    // count pairs this maximin edge decides
+    double cnt = 0;
+    if (pos) {
+      for (auto& kv : hist[b]) {
+        if (kv.first == 0) continue;
+        auto it = hist[a].find(kv.first);
+        if (it != hist[a].end()) cnt += (double)kv.second * it->second;
+      }
+    } else {
+      int64_t tot_a = 0;
+      for (auto& kv : hist[a]) tot_a += kv.second;
+      for (auto& kv : hist[b]) {
+        int64_t same = 0;
+        if (kv.first != 0) {
+          auto it = hist[a].find(kv.first);
+          if (it != hist[a].end()) same = it->second;
+        }
+        cnt += (double)kv.second * (tot_a - same);
+      }
+    }
+    int64_t epos = e.dir * n + e.from + strides[e.dir];
+    out[epos] += (float)cnt;
+    // union
+    for (auto& kv : hist[b]) hist[a][kv.first] += kv.second;
+    hist[b].clear();
+    parent[b] = a;
+  }
 }
 
 }  // extern "C"

@@ -44,6 +44,9 @@ def lib() -> ctypes.CDLL:
         _lib.agglomerate.argtypes = [C.POINTER(C.c_uint64), C.POINTER(C.c_float),
                                      C.c_int, C.c_int, C.c_int, C.c_float,
                                      C.c_int, C.POINTER(C.c_uint64)]
+        _lib.malis_weights.argtypes = [C.POINTER(C.c_float), C.POINTER(C.c_uint32),
+                                       C.c_int, C.c_int, C.c_int, C.c_int,
+                                       C.POINTER(C.c_float)]
     return _lib
 
 
@@ -87,6 +90,18 @@ def cwatershed2d(surface: np.ndarray, markers: np.ndarray,
     out = np.empty((h, w), np.int32)
     lib().cwatershed2d(_ptr(s, ctypes.c_float), _ptr(m, ctypes.c_int32),
                        h, w, conn, _ptr(out, ctypes.c_int32))
+    return out
+
+
+def malis_weights(affs: np.ndarray, seg: np.ndarray, pos: bool) -> np.ndarray:
+    """MALIS maximin pair counts per edge (em_segLib.seg_malis role,
+    reference utils/malis_loss.py:5-14). affs [3,Z,Y,X], seg [Z,Y,X]."""
+    af = np.ascontiguousarray(affs.astype(np.float32))
+    sg = np.ascontiguousarray(seg.astype(np.uint32))
+    z, y, x = sg.shape
+    out = np.empty_like(af)
+    lib().malis_weights(_ptr(af, ctypes.c_float), _ptr(sg, ctypes.c_uint32),
+                        z, y, x, int(pos), _ptr(out, ctypes.c_float))
     return out
 
 

@@ -6,7 +6,10 @@ vgg (relu1_2 on 10x 1024^2 images), spynet (8x 256^2 flow pairs)."""
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import jax

@@ -1,0 +1,98 @@
+"""Tests for MALIS weights, the seg training provider, seg train step, UNETR."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpemsr_tpu.data.seg_provider import SegAugmentConfig, SegTrainProvider
+from gpemsr_tpu.seg import native
+from gpemsr_tpu.seg.affinity import seg_to_aff
+
+
+def test_malis_weights_two_objects():
+    # 1-D-ish volume: two 2-voxel objects along x separated at the boundary
+    seg = np.array([[[1, 1, 2, 2]]], np.uint32)         # [1,1,4]
+    affs = np.ones((3, 1, 1, 4), np.float32)
+    affs[2, 0, 0, 2] = 0.1                              # boundary edge
+    pos = native.malis_weights(affs, seg, pos=True)
+    neg = native.malis_weights(affs, seg, pos=False)
+    # positive pass: each intra-object edge is maximin for its 1 pair
+    assert pos[2, 0, 0, 1] == 1.0 and pos[2, 0, 0, 3] == 1.0
+    assert pos[2, 0, 0, 2] == 0.0
+    # negative pass: the low boundary edge is maximin for all 4 cross pairs
+    assert neg[2, 0, 0, 2] == 4.0
+    assert neg[2, 0, 0, 1] == 0.0
+
+
+def test_malis_background_ignored_in_pos():
+    seg = np.array([[[0, 0, 3, 3]]], np.uint32)
+    affs = np.ones((3, 1, 1, 4), np.float32)
+    pos = native.malis_weights(affs, seg, pos=True)
+    # background pairs don't count in the positive pass
+    assert pos[2, 0, 0, 1] == 0.0
+    assert pos[2, 0, 0, 3] == 1.0
+
+
+def test_seg_train_provider(rng):
+    Z, Y, X = 20, 64, 64
+    raw = rng.integers(0, 255, (Z, Y, X)).astype(np.uint8)
+    labels = np.zeros((Z, Y, X), np.int64)
+    labels[:, :, :30] = 1
+    labels[:, :, 34:] = 2
+    prov = SegTrainProvider(raw, labels, crop_size=(18, 32, 32))
+    img, affs, w = prov.sample(0)
+    assert img.shape == (18, 32, 32, 1)
+    assert affs.shape == (3, 18, 32, 32)
+    assert w.shape == affs.shape
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    # determinism per seed
+    img2, _, _ = prov.sample(0)
+    np.testing.assert_array_equal(img, img2)
+    imgs, affs_b, ws = prov.batch(2, seed=1)
+    assert imgs.shape == (2, 18, 32, 32, 1)
+
+
+def test_seg_train_step_learns(rng):
+    from gpemsr_tpu.models.seg.superhuman import UNetSuperhuman
+    from gpemsr_tpu.train.seg import init_seg_state
+
+    model = UNetSuperhuman(filters=(4, 6, 8, 10, 12))
+    sample = jnp.zeros((1, 18, 32, 32, 1), jnp.float32)
+    state, batch_stats, step = init_seg_state(jax.random.PRNGKey(0), model,
+                                              sample, lr=1e-3)
+    raw = rng.integers(0, 255, (20, 64, 64)).astype(np.uint8)
+    labels = np.zeros((20, 64, 64), np.int64)
+    labels[:, :, :30] = 1
+    labels[:, :, 34:] = 2
+    prov = SegTrainProvider(raw, labels, crop_size=(18, 32, 32),
+                            aug=SegAugmentConfig(if_elastic_aug=False))
+    imgs, affs, w = prov.batch(1, seed=0)
+    state, batch_stats, m0 = step(state, batch_stats,
+                                  jnp.asarray(imgs), jnp.asarray(affs),
+                                  jnp.asarray(w))
+    for _ in range(4):
+        state, batch_stats, m = step(state, batch_stats,
+                                     jnp.asarray(imgs), jnp.asarray(affs),
+                                     jnp.asarray(w))
+    assert float(m["bce_loss"]) < float(m0["bce_loss"])
+
+
+def test_unetr_shapes(rng):
+    from gpemsr_tpu.models.seg.unetr import UNETR
+    m = UNETR(embed_dim=32, depth=4, heads=4, patch=16, feat=4)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 4, 32, 32, 1)).astype(np.float32))
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 4, 32, 32, 3)
+    assert float(jnp.min(out)) >= 0 and float(jnp.max(out)) <= 1
+
+
+def test_vit3d_shapes(rng):
+    from gpemsr_tpu.models.seg.unetr import ViT3D
+    m = ViT3D(embed_dim=32, depth=2, heads=4, patch=(2, 8, 8))
+    x = jnp.asarray(rng.uniform(0, 1, (1, 4, 16, 16, 1)).astype(np.float32))
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert out.shape == (1, 2 * 2 * 2, 32)

@@ -88,3 +88,35 @@ def test_visualisation_shapes(rng):
     affs = rng.uniform(0, 1, (3, 2, 8, 8)).astype(np.float32)
     panels = list(affinity_gallery(affs, affs))
     assert len(panels) == 2 and panels[0][1].shape == (16, 24)
+
+
+def test_color_conversions(rng):
+    from gpemsr_tpu.data.color import bgr2ycbcr, modcrop, rgb2ycbcr, ycbcr2rgb
+    img = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
+    y = rgb2ycbcr(img, only_y=True)
+    assert y.shape == (8, 8)
+    full = rgb2ycbcr(img, only_y=False)
+    back = ycbcr2rgb(full)
+    np.testing.assert_allclose(back, img, atol=1e-4)
+    np.testing.assert_allclose(bgr2ycbcr(img[..., ::-1]), y, atol=1e-6)
+    assert modcrop(np.zeros((10, 13)), 4).shape == (8, 12)
+
+
+def test_duf_downsample(rng):
+    import jax.numpy as jnp
+    from gpemsr_tpu.utils.misc import duf_downsample
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 2)).astype(np.float32))
+    y = duf_downsample(x, scale=4)
+    assert y.shape == (1, 4, 4, 2)
+    const = jnp.full((1, 16, 16, 1), 0.5)
+    np.testing.assert_allclose(np.asarray(duf_downsample(const, 4)), 0.5,
+                               atol=1e-5)
+
+
+def test_adaptive_lr_plateau():
+    from gpemsr_tpu.utils.misc import AdaptiveLR
+    a = AdaptiveLR(patience=2, factor=0.5)
+    assert a.step(1.0) == 1.0
+    assert a.step(0.9) == 1.0    # bad 1
+    assert a.step(0.8) == 0.5    # bad 2 -> decay
+    assert a.step(2.0) == 0.5    # new best keeps scale
