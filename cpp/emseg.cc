@@ -407,4 +407,95 @@ void malis_weights(const float* affs, const uint32_t* seg,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Mutex watershed (Wolf et al., ECCV 2018): Kruskal over attractive and
+// repulsive edges sorted by |weight| descending. An attractive edge merges
+// two clusters unless a mutex constraint exists between them; a repulsive
+// edge adds a mutex constraint. Repulsive priority = 1 - affinity.
+// ---------------------------------------------------------------------------
+
+void mutex_watershed(const float* affs, const int32_t* offsets,
+                     int n_edges, int n_attractive,
+                     int z, int y, int x, uint64_t* out) {
+  const int64_t n = (int64_t)z * y * x;
+  const int64_t sz = (int64_t)y * x, sy = x;
+
+  struct MEdge { float w; int64_t u, v; uint8_t attractive; };
+  std::vector<MEdge> edges;
+  edges.reserve((size_t)n_edges * n / 2);
+  for (int e = 0; e < n_edges; e++) {
+    int oz = offsets[e * 3], oy = offsets[e * 3 + 1], ox = offsets[e * 3 + 2];
+    bool att = e < n_attractive;
+    for (int zz = 0; zz < z; zz++) {
+      int z2 = zz + oz; if (z2 < 0 || z2 >= z) continue;
+      for (int yy = 0; yy < y; yy++) {
+        int y2 = yy + oy; if (y2 < 0 || y2 >= y) continue;
+        for (int xx = 0; xx < x; xx++) {
+          int x2 = xx + ox; if (x2 < 0 || x2 >= x) continue;
+          int64_t p = (int64_t)zz * sz + yy * sy + xx;
+          int64_t q = (int64_t)z2 * sz + y2 * sy + x2;
+          float a = affs[(int64_t)e * n + p];
+          // attractive edges ranked by affinity, repulsive by (1 - affinity)
+          edges.push_back({att ? a : 1.0f - a, p, q, (uint8_t)att});
+        }
+      }
+    }
+  }
+  std::sort(edges.begin(), edges.end(),
+            [](const MEdge& a, const MEdge& b) { return a.w > b.w; });
+
+  std::vector<int64_t> parent(n);
+  for (int64_t i = 0; i < n; i++) parent[i] = i;
+  std::function<int64_t(int64_t)> find = [&](int64_t v) {
+    while (parent[v] != v) { parent[v] = parent[parent[v]]; v = parent[v]; }
+    return v;
+  };
+  // mutex sets per root (sorted vectors of opposing roots)
+  std::vector<std::vector<int64_t>> mutexes(n);
+  auto has_mutex = [&](int64_t a, int64_t b) {
+    const auto& ma = mutexes[a].size() < mutexes[b].size() ? mutexes[a]
+                                                           : mutexes[b];
+    int64_t other = mutexes[a].size() < mutexes[b].size() ? b : a;
+    return std::binary_search(ma.begin(), ma.end(), other);
+  };
+  auto add_mutex = [&](int64_t a, int64_t b) {
+    auto ins = [&](std::vector<int64_t>& v, int64_t t) {
+      auto it = std::lower_bound(v.begin(), v.end(), t);
+      if (it == v.end() || *it != t) v.insert(it, t);
+    };
+    ins(mutexes[a], b);
+    ins(mutexes[b], a);
+  };
+
+  for (const MEdge& e : edges) {
+    int64_t ra = find(e.u), rb = find(e.v);
+    if (ra == rb) continue;
+    if (e.attractive) {
+      if (has_mutex(ra, rb)) continue;
+      // merge smaller mutex set into larger
+      if (mutexes[ra].size() < mutexes[rb].size()) std::swap(ra, rb);
+      parent[rb] = ra;
+      // migrate rb's mutexes to ra (and fix back-references lazily: we
+      // store roots; stale entries resolve through find() at query time,
+      // so re-canonicalise here)
+      std::vector<int64_t> merged;
+      merged.reserve(mutexes[ra].size() + mutexes[rb].size());
+      for (int64_t m : mutexes[rb]) {
+        auto it = std::lower_bound(mutexes[ra].begin(), mutexes[ra].end(), m);
+        if (it == mutexes[ra].end() || *it != m) mutexes[ra].insert(it, m);
+        auto& mv = mutexes[m];
+        auto i2 = std::lower_bound(mv.begin(), mv.end(), rb);
+        if (i2 != mv.end() && *i2 == rb) mv.erase(i2);
+        auto i3 = std::lower_bound(mv.begin(), mv.end(), ra);
+        if (i3 == mv.end() || *i3 != ra) mv.insert(i3, ra);
+      }
+      mutexes[rb].clear();
+    } else {
+      add_mutex(ra, rb);
+    }
+  }
+
+  for (int64_t i = 0; i < n; i++) out[i] = (uint64_t)find(i) + 1;
+}
+
 }  // extern "C"

@@ -71,10 +71,12 @@ def gaussian_weight(out_size, sigma: float = 0.2) -> np.ndarray:
 
 
 def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
-                out_channels: int = 3) -> np.ndarray:
+                out_channels: int = 3, batch: int = 4) -> np.ndarray:
     """volume [Z, Y, X] float32 in [0,1] -> affinities [C, Z, Y, X].
 
-    apply_fn(crop[1, cz, cy, cx, 1]) -> [1, oz, oy, ox, C]."""
+    apply_fn(crop[B, cz, cy, cx, 1]) -> [B, oz, oy, ox, C]. Crops are batched
+    (`batch` per device step) so the MXU sees wide convolutions; the
+    accumulation scatter runs inside the same jit."""
     pad = proto.pad
     padded = np.pad(volume, tuple((p, p) for p in pad), mode="reflect")
     out_size = proto.out_size()
@@ -89,18 +91,36 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
         wacc = jnp.zeros(padded.shape, jnp.float32)
 
         @jax.jit
-        def step(acc, wacc, pos):
-            crop = jax.lax.dynamic_slice(vol_dev, pos, (cz, cy, cx))
-            pred = apply_fn(crop[None, ..., None])[0].transpose(3, 0, 1, 2)
-            t = (jnp.int32(0),) + pos
-            cur = jax.lax.dynamic_slice(acc, t, (out_channels,) + out_size)
-            acc = jax.lax.dynamic_update_slice(acc, cur + pred * w, t)
-            curw = jax.lax.dynamic_slice(wacc, pos, out_size)
-            wacc = jax.lax.dynamic_update_slice(wacc, curw + w, pos)
+        def step(acc, wacc, pos_arr, valid):
+            crops = jax.vmap(lambda p: jax.lax.dynamic_slice(
+                vol_dev, tuple(p), (cz, cy, cx)))(pos_arr)
+            preds = apply_fn(crops[..., None])           # [B, oz, oy, ox, C]
+
+            def add_one(carry, inp):
+                acc, wacc = carry
+                pred, pos, v = inp
+                pred = pred.transpose(3, 0, 1, 2) * (w * v)
+                t = (jnp.int32(0),) + tuple(pos)
+                cur = jax.lax.dynamic_slice(acc, t, (out_channels,) + out_size)
+                acc = jax.lax.dynamic_update_slice(acc, cur + pred, t)
+                curw = jax.lax.dynamic_slice(wacc, tuple(pos), out_size)
+                wacc = jax.lax.dynamic_update_slice(wacc, curw + w * v,
+                                                    tuple(pos))
+                return (acc, wacc), None
+
+            (acc, wacc), _ = jax.lax.scan(add_one, (acc, wacc),
+                                          (preds, pos_arr, valid))
             return acc, wacc
 
-        for pos in positions:
-            acc, wacc = step(acc, wacc, tuple(jnp.int32(v) for v in pos))
+        for i in range(0, len(positions), batch):
+            chunk = positions[i:i + batch]
+            valid = np.ones(batch, np.float32)
+            while len(chunk) < batch:                     # pad the last batch
+                chunk = chunk + [chunk[-1]]
+                valid[len(chunk) - 1] = 0.0
+            acc, wacc = step(acc, wacc,
+                             jnp.asarray(chunk, jnp.int32),
+                             jnp.asarray(valid))
         out = np.asarray(acc / wacc[None])
         return out[:, pad[0]:out.shape[1] - pad[0],
                    pad[1]:out.shape[2] - pad[1],

@@ -47,6 +47,9 @@ def lib() -> ctypes.CDLL:
         _lib.malis_weights.argtypes = [C.POINTER(C.c_float), C.POINTER(C.c_uint32),
                                        C.c_int, C.c_int, C.c_int, C.c_int,
                                        C.POINTER(C.c_float)]
+        _lib.mutex_watershed.argtypes = [C.POINTER(C.c_float), C.POINTER(C.c_int32),
+                                         C.c_int, C.c_int, C.c_int, C.c_int,
+                                         C.c_int, C.POINTER(C.c_uint64)]
     return _lib
 
 

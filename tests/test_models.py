@@ -120,3 +120,15 @@ def test_mala_shapes(rng):
     out = m.apply(params, x)
     # valid convs eat 14 z / 106 xy: 106-pad*2 = -106 -> out 25 z
     assert out.shape[1] == 25 and out.shape[-1] == 3
+
+
+def test_gpemsr_forward_x8(rng):
+    from gpemsr_tpu.models.gpemsr import GPEMSR
+    cfg = GPEMSRConfig(nf=16, groups=4, front_RBs=1, back_RBs=1,
+                       ref_fusion_feat_RBs=1, scale=8, prior=tiny_prior(8))
+    m = GPEMSR(cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 5, 8, 8, 1)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    sr, ref = m.apply(params, x)
+    assert sr.shape == (1, 64, 64, 1)
+    assert ref.shape == (1, 5, 64, 64, 1)

@@ -96,3 +96,25 @@ def test_vit3d_shapes(rng):
     params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
     out = m.apply(params, x)
     assert out.shape == (1, 2 * 2 * 2, 32)
+
+
+def test_mutex_watershed_separates_objects(rng):
+    from gpemsr_tpu.seg.mutex import gen_affs_mutex_3d, mutex_watershed, shift_func
+    seg = np.zeros((3, 12, 12), np.uint32)
+    seg[:, :, :5] = 1
+    seg[:, :, 7:] = 2
+    shifts = shift_func(12)
+    affs = gen_affs_mutex_3d(seg, shifts, padding=False, background=False)
+    assert affs.shape == (12, 3, 12, 12)
+    out = mutex_watershed(affs, shifts, n_attractive=3)
+    # left and right objects end in different clusters, uniform within
+    assert np.unique(out[:, :, :4]).size == 1
+    assert np.unique(out[:, :, 8:]).size == 1
+    assert out[0, 0, 0] != out[0, 0, 11]
+
+
+def test_shift_func_layout():
+    from gpemsr_tpu.seg.mutex import shift_func
+    s = shift_func(12)
+    assert len(s) == 12
+    assert s[:3] == [[-1, 0, 0], [0, -1, 0], [0, 0, -1]]
