@@ -70,3 +70,34 @@ def test_tiled_infer_mala_geometry(rng):
     out = tiled_infer(jax.jit(valid_apply), vol, proto)
     assert out.shape == (3, 10, 16, 16)
     np.testing.assert_allclose(out[0], vol, atol=1e-5)
+
+
+def test_spatial_sharded_sr(rng):
+    """Full-section SR sharded over the mesh 'spatial' axis matches the same
+    tiling computed serially (GroupNorm makes tiling != whole-image, exactly
+    like the reference's quarter-tiled validation protocol)."""
+    from gpemsr_tpu.core.config import GPEMSRConfig
+    from gpemsr_tpu.infer.spatial import pad_to_tiles, spatial_sr
+    from gpemsr_tpu.models.gpemsr import GPEMSR
+    from gpemsr_tpu.parallel.mesh import make_mesh
+    from tests.test_models import tiny_prior
+
+    cfg = GPEMSRConfig(nf=16, groups=4, front_RBs=1, back_RBs=1,
+                       ref_fusion_feat_RBs=1, scale=16, prior=tiny_prior(16))
+    model = GPEMSR(cfg)
+    lr = jnp.asarray(rng.uniform(0, 1, (1, 5, 32, 8, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), lr[:, :, :8, :8])
+
+    mesh = make_mesh(data=4, spatial=2)
+    halo = 8
+    out = spatial_sr(model, params, np.asarray(lr), mesh, halo=halo, scale=16)
+    assert out.shape == (1, 512, 128, 1)
+
+    # serial reference: same tiles, same crops
+    tiles = pad_to_tiles(lr, 2, halo)
+    parts = []
+    for t in range(2):
+        sr, _ = model.apply(params, tiles[:, t])
+        parts.append(np.asarray(sr[0, halo * 16: sr.shape[1] - halo * 16]))
+    ref = np.concatenate(parts, axis=0)[None]
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
