@@ -33,6 +33,10 @@ def main():
     from gpemsr_tpu.utils.precision import bf16_inference
 
     use_bf16 = "--f32" not in sys.argv
+    batch = 1
+    for a in sys.argv[1:]:
+        if a.startswith("--batch="):
+            batch = int(a.split("=")[1])
 
     cfg = _flagship_cfg()
     model = GPEMSR(cfg)
@@ -51,7 +55,7 @@ def main():
             return sr
 
     rng = np.random.default_rng(0)
-    lq = jnp.asarray(rng.uniform(0, 1, (1, 5, h, w, 1)).astype(np.float32))
+    lq = jnp.asarray(rng.uniform(0, 1, (batch, 5, h, w, 1)).astype(np.float32))
 
     # warmup / compile
     fwd(lq).block_until_ready()
@@ -64,7 +68,7 @@ def main():
     out.block_until_ready()
     dt = time.perf_counter() - t0
 
-    mpix = (h * 16) * (w * 16) / 1e6
+    mpix = batch * (h * 16) * (w * 16) / 1e6
     value = mpix * iters / dt
     print(json.dumps({
         "metric": "sr_x16_inference_throughput",

@@ -232,6 +232,66 @@ def convert_spynet(sd, dst=(), levels=6):
     return t.tree()
 
 
+# ---------------------------------------------------------------------------
+# Segmentation nets (superhuman.pt / MALA.pt, keys after stripping 'module.')
+# ---------------------------------------------------------------------------
+
+def _bn(t: _Tree, sd, src, dst):
+    """torch BatchNorm3d -> flax BatchNorm params + batch_stats."""
+    t.put(("params",) + dst + ("bn", "scale"), vec(sd[f"{src}.weight"]))
+    t.put(("params",) + dst + ("bn", "bias"), vec(sd[f"{src}.bias"]))
+    t.put(("batch_stats",) + dst + ("bn", "mean"), vec(sd[f"{src}.running_mean"]))
+    t.put(("batch_stats",) + dst + ("bn", "var"), vec(sd[f"{src}.running_var"]))
+
+
+def _c3(t: _Tree, sd, src, dst, bias=True):
+    t.put(("params",) + dst + ("kernel",), conv3d_w(sd[f"{src}.weight"]))
+    if bias and f"{src}.bias" in sd:
+        t.put(("params",) + dst + ("bias",), vec(sd[f"{src}.bias"]))
+
+
+def _res_pni(t: _Tree, sd, src, dst):
+    """reference resBlock_pni layout (residual.py:10-31): block1=[conv,BN,ELU],
+    block2=[conv,BN,ELU,conv], block3=BN."""
+    _c3(t, sd, f"{src}.block1.0", dst + ("embed",), bias=False)
+    _bn(t, sd, f"{src}.block1.1", dst + ("bn_embed",))
+    _c3(t, sd, f"{src}.block2.0", dst + ("conv1",), bias=False)
+    _bn(t, sd, f"{src}.block2.1", dst + ("bn1",))
+    _c3(t, sd, f"{src}.block2.3", dst + ("conv2",), bias=False)
+    _bn(t, sd, f"{src}.block3", dst + ("bn_out",))
+
+
+def convert_superhuman(sd) -> dict:
+    """UNet_PNI checkpoint (shipped config: bilinear upsample, add-merge,
+    async BN) -> {'params': ..., 'batch_stats': ...} for UNetSuperhuman."""
+    t = _Tree()
+    _c3(t, sd, "embed_in.0", ("embed_in",))
+    for i in range(4):
+        _res_pni(t, sd, f"conv{i}", (f"down{i}",))
+    _res_pni(t, sd, "center", ("center",))
+    for i in range(4):
+        # upN = Sequential(Upsample, Conv3d) ; catN = Sequential(BN, ELU)
+        _c3(t, sd, f"up{i}.1", (f"up{i}", "conv"))
+        _bn(t, sd, f"cat{i}.0", (f"merge_bn{i}",))
+        _res_pni(t, sd, f"conv{i + 4}", (f"dec{i}",))
+    _c3(t, sd, "embed_out.0", ("embed_out",))
+    _c3(t, sd, "out_put.0", ("out",))
+    return t.tree()
+
+
+def convert_mala(sd) -> dict:
+    """UNet3D_MALA checkpoint -> {'params': ...} for UNetMALA."""
+    t = _Tree()
+    for i in range(1, 19):
+        _c3(t, sd, f"conv{i}", (f"conv{i}",))
+    for i in range(1, 4):
+        # grouped ConvTranspose3d weight [C, 1, 1, 3, 3] -> our (3, 3, C)
+        w = _np(sd[f"dconv{i}.weight"])
+        t.put(("params", f"dconv{i}", "kernel"),
+              jnp.asarray(w[:, 0, 0].transpose(1, 2, 0)))
+    return t.tree()
+
+
 _VGG_CONV_IDX = {  # torchvision vgg19 .features indices per conv
     "conv1_1": 0, "conv1_2": 2,
     "conv2_1": 5, "conv2_2": 7,

@@ -20,7 +20,6 @@ from gpemsr_tpu.models.prior import LRGenerator
 from gpemsr_tpu.models.spynet import SpyNet
 from gpemsr_tpu.models.vgg import VGG19Features
 from gpemsr_tpu.ops.dcn import deform_conv2d
-from gpemsr_tpu.ops.patches import extract_patches
 from gpemsr_tpu.ops.pixel_shuffle import pixel_shuffle
 from gpemsr_tpu.ops.resize import interpolate
 
@@ -290,18 +289,25 @@ class GPEMSR(nn.Module):
         bank = [jax.lax.stop_gradient(t) for t in bank]
         ref_x16, ref_x8, ref_x4, ref_x2, ref_img = bank
 
-        # VGG patch-similarity confidence mask
+        # VGG patch-similarity confidence mask. The reference unfolds 16x16
+        # patches of relu1_2 and takes normalized dot products
+        # (GPEMSR.py:345-358) — materialising a [B*N, 64*256, L] tensor. The
+        # per-patch cosine is exactly expressible with 16x16 sum-pools of
+        # (a*b, a*a, b*b): identical numerics, none of the unfold traffic.
         up_lr = interpolate(xf, float(s))
         vgg_ref = self.vgg(jnp.broadcast_to(
             ref_img, ref_img.shape[:-1] + (3,)))["relu1_2"]
         vgg_lr = self.vgg(jnp.broadcast_to(
             up_lr, up_lr.shape[:-1] + (3,)))["relu1_2"]
 
-        def patch_norm(f):
-            p = extract_patches(f, (16, 16), (16, 16))        # [B*N, C*256, L]
-            return p / (jnp.linalg.norm(p, axis=1, keepdims=True) + 1e-12)
+        def patch_sums(t):
+            p = nn.avg_pool(t, (16, 16), strides=(16, 16))
+            return jnp.sum(p, axis=-1) * 256.0               # [B*N, gh, gw]
 
-        sim = jnp.sum(patch_norm(vgg_ref) * patch_norm(vgg_lr), axis=1)  # [B*N, L]
+        dot = patch_sums(vgg_ref * vgg_lr)
+        na = jnp.sqrt(patch_sums(vgg_ref * vgg_ref))
+        nb = jnp.sqrt(patch_sums(vgg_lr * vgg_lr))
+        sim = dot / (na * nb + 1e-12)
         mh, mw = (H, W) if s == 16 else (H // 2, W // 2)
         mask = sim.reshape(B * N, mh, mw, 1)
         mask = lrelu(Conv(nf, name="refmaskconv1")(mask))

@@ -3,20 +3,23 @@
 The reference's only custom CUDA kernel: `DCNv2Pack` (basicsr), instantiated 4x
 inside POD alignment (model/GPEMSR.py:79,83,88,94) with kernel 3, stride 1,
 pad 1, deformable_groups=8. On TPU we decompose it into
-  (1) one fused gather of the 4 bilinear corners for all taps/groups, and
+  (1) ONE `lax.gather` per sample fetching the whole 2x2xCg bilinear corner
+      block (profiling showed four narrow 8-wide gathers ran at ~6 GB/s and
+      dominated the forward pass; one 2x2xCg slab quadruples the gather width
+      and quarters the gather count), and
   (2) a single [B*H*W, K*Cin] x [K*Cin, Cout] matmul that runs on the MXU.
-The gather is the only irregular part; everything else is dense MXU work, which
-is exactly the shape XLA schedules well. Semantics follow torchvision's
-`deform_conv2d` / basicsr's modulated_deform_conv:
+Semantics follow torchvision's `deform_conv2d` / basicsr's
+modulated_deform_conv:
   sample(h, w, g, k) = bilinear(x[..., group g], h - pad + ki + dy, w - pad + kj + dx)
   out = conv(sample * sigmoid_mask)
-with zero padding outside the image.
-"""
+with zero padding outside the image. Coordinate math stays f32 (absolute
+positions lose fractional precision in bf16)."""
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
@@ -38,15 +41,15 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
     G = deformable_groups
     Cg = Cin // G
 
-    off = offset.reshape(B, H, W, G, K, 2)
+    off = offset.astype(jnp.float32).reshape(B, H, W, G, K, 2)
     dy = off[..., 0]
     dx = off[..., 1]
 
-    ki = jnp.arange(kernel_size, dtype=x.dtype)
+    ki = jnp.arange(kernel_size, dtype=jnp.float32)
     taps_y = jnp.repeat(ki, kernel_size)       # [K] row-major
     taps_x = jnp.tile(ki, kernel_size)
-    gy = jnp.arange(H, dtype=x.dtype)
-    gx = jnp.arange(W, dtype=x.dtype)
+    gy = jnp.arange(H, dtype=jnp.float32)
+    gx = jnp.arange(W, dtype=jnp.float32)
 
     # absolute sample positions [B, H, W, G, K]
     py = gy[None, :, None, None, None] - padding + taps_y[None, None, None, None, :] + dy
@@ -59,41 +62,57 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
     y0i = y0.astype(jnp.int32)
     x0i = x0.astype(jnp.int32)
 
-    xg = x.reshape(B, H * W, G, Cg)
-
-    # reorder position tensors to [B, HW, K, G] so the gather index varies
-    # fastest over taps, then groups
+    # reorder to [B, HW, K, G] (taps fastest over rows, then groups)
     def prep(t):
         return t.reshape(B, H * W, G, K).transpose(0, 1, 3, 2)
 
     y0p, x0p, fyp, fxp = prep(y0i), prep(x0i), prep(fy), prep(fx)
+    N = H * W * K  # samples per (batch, group)
 
-    def gather(yy, xx):
-        valid = (yy >= 0) & (yy <= H - 1) & (xx >= 0) & (xx <= W - 1)
-        yc = jnp.clip(yy, 0, H - 1)
-        xc = jnp.clip(xx, 0, W - 1)
-        idx = (yc * W + xc).reshape(B, H * W * K, G, 1)
-        g = jnp.take_along_axis(xg, idx, axis=1)           # [B, HW*K, G, Cg]
-        return g.reshape(B, H * W, K, G, Cg), valid.astype(x.dtype)
+    # one gather per sample: 2x2xCg corner block at (by, bx, g)
+    by = jnp.clip(y0p, 0, max(H - 2, 0))
+    bx = jnp.clip(x0p, 0, max(W - 2, 0))
+    gids = jnp.broadcast_to(
+        jnp.arange(G, dtype=jnp.int32)[None, None, None, :], y0p.shape)
+    starts = jnp.stack([by, bx, gids], axis=-1).reshape(B, N * G, 3)
 
-    v00, m00 = gather(y0p, x0p)
-    v01, m01 = gather(y0p, x0p + 1)
-    v10, m10 = gather(y0p + 1, x0p)
-    v11, m11 = gather(y0p + 1, x0p + 1)
+    xg = x.reshape(B, H, W, G, Cg)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),            # slab dims (y, x, Cg) in the output
+        collapsed_slice_dims=(3,),        # the size-1 group slice
+        start_index_map=(1, 2, 3),        # (y, x, g)
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    slab = lax.gather(xg, starts, dnums, slice_sizes=(1, 2, 2, 1, Cg),
+                      mode=lax.GatherScatterMode.CLIP)
+    slab = slab.reshape(B, H * W, K, G, 2, 2, Cg)
 
-    w00 = ((1 - fyp) * (1 - fxp) * m00)[..., None]
-    w01 = ((1 - fyp) * fxp * m01)[..., None]
-    w10 = (fyp * (1 - fxp) * m10)[..., None]
-    w11 = (fyp * fxp * m11)[..., None]
+    # per-slab-position bilinear weights: slab rows are (by, by+1); row i is
+    # corner y0 (weight (1-fy)) iff by+i == y0, corner y0+1 (weight fy) iff
+    # by+i == y0+1, else 0 — validity folded in. No corner selection needed.
+    def axis_w(c0, base, frac, size):
+        v0 = ((c0 >= 0) & (c0 <= size - 1)).astype(jnp.float32)
+        v1 = ((c0 + 1 >= 0) & (c0 + 1 <= size - 1)).astype(jnp.float32)
+        ws = []
+        for i in (0, 1):
+            ws.append(jnp.where(base + i == c0, (1 - frac) * v0,
+                                jnp.where(base + i == c0 + 1, frac * v1, 0.0)))
+        return ws  # two arrays [B, HW, K, G]
 
-    samp = v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11   # [B, HW, K, G, Cg]
-
+    wy = axis_w(y0p, by, fyp, H)
+    wx = axis_w(x0p, bx, fxp, W)
     if mask is not None:
-        m = mask.reshape(B, H * W, G, K).transpose(0, 1, 3, 2)[..., None]
-        samp = samp * m
+        m = mask.astype(jnp.float32).reshape(B, H * W, G, K)
+        m = m.transpose(0, 1, 3, 2)
+        wy = [w * m for w in wy]                   # fold modulation into wy
+    wgrid = jnp.stack([jnp.stack([wy[0] * wx[0], wy[0] * wx[1]], axis=-1),
+                       jnp.stack([wy[1] * wx[0], wy[1] * wx[1]], axis=-1)],
+                      axis=-2)                     # [B, HW, K, G, 2, 2]
+    samp = jnp.einsum("bpkgij,bpkgijc->bpkgc", wgrid.astype(x.dtype), slab)
 
     samp = samp.reshape(B, H * W, K * Cin)
-    wmat = weight.reshape(K * Cin, -1)
+    wmat = weight.reshape(K * Cin, -1).astype(x.dtype)
     out = jnp.einsum("bpk,ko->bpo", samp, wmat,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     if bias is not None:

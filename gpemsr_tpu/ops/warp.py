@@ -2,14 +2,16 @@
 
 Used by the SpyNet coarse-to-fine loop (basicsr spynet warps the supporting
 frame by the upsampled flow with padding_mode='border', align_corners=True).
-Implemented as a flattened gather of the four corner texels + lerp; the gather
-index arithmetic is vectorised so XLA emits a single gather per corner.
-"""
+Each sample fetches its whole 2x2xC bilinear corner block in ONE lax.gather
+(profiling showed four narrow per-corner gathers dominated; one wide slab
+quadruples gather width). Coordinate math stays f32 — under bf16 inference,
+absolute pixel positions lose their fractional part."""
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 def grid_sample_bilinear(x: jax.Array, ix: jax.Array, iy: jax.Array,
@@ -23,6 +25,9 @@ def grid_sample_bilinear(x: jax.Array, ix: jax.Array, iy: jax.Array,
     B, H, W, C = x.shape
     out_h, out_w = ix.shape[-2], ix.shape[-1]
 
+    ix = ix.astype(jnp.float32)
+    iy = iy.astype(jnp.float32)
+
     if padding_mode == "border":
         ix = jnp.clip(ix, 0.0, W - 1)
         iy = jnp.clip(iy, 0.0, H - 1)
@@ -33,47 +38,54 @@ def grid_sample_bilinear(x: jax.Array, ix: jax.Array, iy: jax.Array,
     fy = iy - y0
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    x1i = x0i + 1
-    y1i = y0i + 1
 
     if padding_mode == "zeros":
         vx0 = (x0i >= 0) & (x0i <= W - 1)
-        vx1 = (x1i >= 0) & (x1i <= W - 1)
+        vx1 = (x0i + 1 >= 0) & (x0i + 1 <= W - 1)
         vy0 = (y0i >= 0) & (y0i <= H - 1)
-        vy1 = (y1i >= 0) & (y1i <= H - 1)
+        vy1 = (y0i + 1 >= 0) & (y0i + 1 <= H - 1)
+        m00 = (vy0 & vx0).astype(jnp.float32)
+        m01 = (vy0 & vx1).astype(jnp.float32)
+        m10 = (vy1 & vx0).astype(jnp.float32)
+        m11 = (vy1 & vx1).astype(jnp.float32)
     else:
-        vx0 = vx1 = vy0 = vy1 = None
+        m00 = m01 = m10 = m11 = 1.0
 
-    x0c = jnp.clip(x0i, 0, W - 1)
-    x1c = jnp.clip(x1i, 0, W - 1)
-    y0c = jnp.clip(y0i, 0, H - 1)
-    y1c = jnp.clip(y1i, 0, H - 1)
+    # single 2x2xC slab gather per sample
+    by = jnp.clip(y0i, 0, max(H - 2, 0))
+    bx = jnp.clip(x0i, 0, max(W - 2, 0))
+    NP = out_h * out_w
+    starts = jnp.stack([by.reshape(B, NP), bx.reshape(B, NP)], axis=-1)
 
-    flat = x.reshape(B, H * W, C)
+    dnums = lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    slab = lax.gather(x, starts, dnums, slice_sizes=(1, 2, 2, C),
+                      mode=lax.GatherScatterMode.CLIP)
+    slab = slab.reshape(B, out_h, out_w, 2, 2, C).astype(jnp.float32)
 
-    def gather(yy, xx):
-        idx = yy * W + xx                       # [B, out_h, out_w]
-        idx = idx.reshape(B, out_h * out_w)
-        g = jnp.take_along_axis(flat, idx[..., None], axis=1)
-        return g.reshape(B, out_h, out_w, C)
+    sy0 = jnp.clip(y0i - by, 0, 1)
+    sx0 = jnp.clip(x0i - bx, 0, 1)
+    sy1 = jnp.clip(y0i + 1 - by, 0, 1)
+    sx1 = jnp.clip(x0i + 1 - bx, 0, 1)
 
-    v00 = gather(y0c, x0c)
-    v01 = gather(y0c, x1c)
-    v10 = gather(y1c, x0c)
-    v11 = gather(y1c, x1c)
+    def pick(sy, sx):
+        row = jnp.where((sy == 0)[..., None, None],
+                        slab[..., 0, :, :], slab[..., 1, :, :])
+        return jnp.where((sx == 0)[..., None], row[..., 0, :], row[..., 1, :])
 
-    w00 = ((1 - fy) * (1 - fx))[..., None]
-    w01 = ((1 - fy) * fx)[..., None]
-    w10 = (fy * (1 - fx))[..., None]
-    w11 = (fy * fx)[..., None]
+    w00 = ((1 - fy) * (1 - fx) * m00)[..., None]
+    w01 = ((1 - fy) * fx * m01)[..., None]
+    w10 = (fy * (1 - fx) * m10)[..., None]
+    w11 = (fy * fx * m11)[..., None]
 
-    if padding_mode == "zeros":
-        w00 = w00 * (vy0 & vx0)[..., None]
-        w01 = w01 * (vy0 & vx1)[..., None]
-        w10 = w10 * (vy1 & vx0)[..., None]
-        w11 = w11 * (vy1 & vx1)[..., None]
-
-    return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
+    out = (pick(sy0, sx0) * w00 + pick(sy0, sx1) * w01 +
+           pick(sy1, sx0) * w10 + pick(sy1, sx1) * w11)
+    return out.astype(x.dtype)
 
 
 def flow_warp(x: jax.Array, flow: jax.Array, padding_mode: str = "zeros") -> jax.Array:
@@ -82,8 +94,9 @@ def flow_warp(x: jax.Array, flow: jax.Array, padding_mode: str = "zeros") -> jax
     Matches basicsr `flow_warp` (align_corners=True): sample position for output
     pixel (h, w) is (w + flow_x, h + flow_y)."""
     B, H, W, _ = flow.shape
-    gy, gx = jnp.meshgrid(jnp.arange(H, dtype=flow.dtype),
-                          jnp.arange(W, dtype=flow.dtype), indexing="ij")
+    flow = flow.astype(jnp.float32)
+    gy, gx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
     ix = gx[None] + flow[..., 0]
     iy = gy[None] + flow[..., 1]
     return grid_sample_bilinear(x, ix, iy, padding_mode=padding_mode)

@@ -47,7 +47,17 @@ def main():
                          if_sigmoid=cfg.model.if_sigmoid)
         sample = jnp.zeros((1, 53, 268, 268, 1), jnp.float32)
 
-    if args.ckpt:
+    if args.ckpt and args.ckpt.endswith((".pt", ".pth")):
+        # reference torch checkpoint: strip DDP 'module.' prefix and convert
+        import torch
+        from gpemsr_tpu.models.convert import convert_mala, convert_superhuman
+        raw = torch.load(args.ckpt, map_location="cpu")
+        sd = raw.get("model_weights", raw)
+        sd = {k[7:] if k.startswith("module.") else k: v for k, v in sd.items()}
+        variables = (convert_superhuman(sd)
+                     if cfg.model.model_type == "superhuman"
+                     else convert_mala(sd))
+    elif args.ckpt:
         with open(args.ckpt, "rb") as f:
             variables = pickle.load(f)
     else:

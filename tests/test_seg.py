@@ -146,3 +146,22 @@ def test_relabel():
     seg = np.array([[5, 5, 9], [0, 9, 9]])
     out = relabel(seg.copy())
     assert set(np.unique(out)) == {0, 1, 2}
+
+
+def test_instance_boundary_and_distance_targets(rng):
+    from gpemsr_tpu.seg.targets import (distance_transform_target,
+                                        seg_to_instance_bd,
+                                        skeleton_aware_weight)
+    seg = np.zeros((2, 12, 12), np.int64)
+    seg[:, :, :5] = 1
+    seg[:, :, 7:] = 2
+    bd = seg_to_instance_bd(seg)
+    assert bd.shape == seg.shape
+    assert bd[0, 0, 4] == 1 and bd[0, 0, 7] == 1    # object/background edges
+    assert bd[0, 0, 1] == 0
+    dt = distance_transform_target(seg)
+    assert dt.shape == seg.shape
+    assert dt[0, 6, 2] > dt[0, 6, 4]                # deeper inside -> larger
+    assert (dt[:, :, 5:7] == 0).all()               # background zero
+    w = skeleton_aware_weight(dt)
+    assert w.shape == dt.shape and (w >= 1).all()
