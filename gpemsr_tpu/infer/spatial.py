@@ -45,16 +45,16 @@ def spatial_sr(model, params, lr_stack: np.ndarray, mesh: Mesh,
     tiles = jax.device_put(tiles, tile_sharding)
     params = jax.device_put(params, rep)
 
-    def per_tile(tile):                      # [N, th+2h, W, 1]
-        sr, _ = model.apply(params, tile[None])
-        lo = halo * scale
-        hi = sr.shape[1] - halo * scale
-        return sr[0, lo:hi]                  # valid center [th*s, W*s, 1]
-
     @jax.jit
-    def run(tiles):
+    def run(params, tiles):
+        def per_tile(tile):                  # [N, th+2h, W, 1]
+            sr, _ = model.apply(params, tile[None])
+            lo = halo * scale
+            hi = sr.shape[1] - halo * scale
+            return sr[0, lo:hi]              # valid center [th*s, W*s, 1]
+
         # vmap over the tile axis; sharded inputs keep each tile on its device
         out = jax.vmap(per_tile)(tiles[0])   # [T, th*s, W*s, 1]
         return out.reshape(1, -1, out.shape[2], out.shape[3])
 
-    return run(tiles)
+    return run(params, tiles)

@@ -91,9 +91,9 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
         wacc = jnp.zeros(padded.shape, jnp.float32)
 
         @jax.jit
-        def step(acc, wacc, pos_arr, valid):
+        def step(acc, wacc, vol, pos_arr, valid):
             crops = jax.vmap(lambda p: jax.lax.dynamic_slice(
-                vol_dev, tuple(p), (cz, cy, cx)))(pos_arr)
+                vol, tuple(p), (cz, cy, cx)))(pos_arr)
             preds = apply_fn(crops[..., None])           # [B, oz, oy, ox, C]
 
             def add_one(carry, inp):
@@ -118,7 +118,7 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
             while len(chunk) < batch:                     # pad the last batch
                 chunk = chunk + [chunk[-1]]
                 valid[len(chunk) - 1] = 0.0
-            acc, wacc = step(acc, wacc,
+            acc, wacc = step(acc, wacc, vol_dev,
                              jnp.asarray(chunk, jnp.int32),
                              jnp.asarray(valid))
         out = np.asarray(acc / wacc[None])
@@ -131,11 +131,11 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
     acc = jnp.zeros((out_channels,) + volume.shape, jnp.float32)
 
     @jax.jit
-    def step_mala(acc, pos):
-        crop = jax.lax.dynamic_slice(vol_dev, pos, (cz, cy, cx))
+    def step_mala(acc, vol, pos):
+        crop = jax.lax.dynamic_slice(vol, pos, (cz, cy, cx))
         pred = apply_fn(crop[None, ..., None])[0].transpose(3, 0, 1, 2)
         return jax.lax.dynamic_update_slice(acc, pred, (jnp.int32(0),) + pos)
 
     for pos in positions:
-        acc = step_mala(acc, tuple(jnp.int32(v) for v in pos))
+        acc = step_mala(acc, vol_dev, tuple(jnp.int32(v) for v in pos))
     return np.asarray(acc)

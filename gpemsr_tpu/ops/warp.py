@@ -64,9 +64,14 @@ def grid_sample_bilinear(x: jax.Array, ix: jax.Array, iy: jax.Array,
         operand_batching_dims=(0,),
         start_indices_batching_dims=(0,),
     )
-    slab = lax.gather(x, starts, dnums, slice_sizes=(1, 2, 2, C),
+    sh, sw = min(2, H), min(2, W)          # degenerate 1-wide/1-tall inputs
+    slab = lax.gather(x, starts, dnums, slice_sizes=(1, sh, sw, C),
                       mode=lax.GatherScatterMode.CLIP)
-    slab = slab.reshape(B, out_h, out_w, 2, 2, C).astype(jnp.float32)
+    slab = slab.reshape(B, out_h, out_w, sh, sw, C).astype(jnp.float32)
+    if sh == 1:
+        slab = jnp.concatenate([slab, slab], axis=-3)
+    if sw == 1:
+        slab = jnp.concatenate([slab, slab], axis=-2)
 
     sy0 = jnp.clip(y0i - by, 0, 1)
     sx0 = jnp.clip(x0i - bx, 0, 1)

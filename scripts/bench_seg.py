@@ -33,12 +33,17 @@ def main():
     rng = np.random.default_rng(0)
     vol = rng.uniform(0, 1, (50, 1024, 1024)).astype(np.float32)
 
+    # first run compiles; second run is the steady-state protocol time
+    t0 = time.perf_counter()
+    tiled_infer(apply_fn, vol, TileProtocol.superhuman(), batch=batch)
+    compile_dt = time.perf_counter() - t0
     t0 = time.perf_counter()
     affs = tiled_infer(apply_fn, vol, TileProtocol.superhuman(), batch=batch)
     dt = time.perf_counter() - t0
     n_crops = 5 * 13 * 13
-    print(f"superhuman tiled inference: {dt:.2f}s total "
-          f"({n_crops / dt:.1f} crops/s, batch={batch}), affs {affs.shape}")
+    print(f"superhuman tiled inference: {dt:.2f}s steady-state "
+          f"({n_crops / dt:.1f} crops/s, batch={batch}; first run incl. "
+          f"compile {compile_dt:.1f}s), affs {affs.shape}")
 
 
 if __name__ == "__main__":

@@ -304,3 +304,66 @@ def test_spynet_conversion_level(rng):
     out = BasicModule().apply(params, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
                                atol=2e-4)
+
+
+def test_spynet_full_pyramid_conversion(rng):
+    """6-level coarse-to-fine flow vs a torch oracle with the basicsr
+    semantics (avg-pool pyramid, x2-upsampled flow, border-padded warp)."""
+    from gpemsr_tpu.models.spynet import SpyNet
+
+    torch.manual_seed(7)
+    levels = 6
+
+    def make_module():
+        return nn.Sequential(
+            nn.Conv2d(8, 32, 7, 1, 3), nn.ReLU(), nn.Conv2d(32, 64, 7, 1, 3),
+            nn.ReLU(), nn.Conv2d(64, 32, 7, 1, 3), nn.ReLU(),
+            nn.Conv2d(32, 16, 7, 1, 3), nn.ReLU(), nn.Conv2d(16, 2, 7, 1, 3))
+
+    mods = nn.ModuleList([make_module() for _ in range(levels)]).eval()
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def torch_flow(ref, supp):
+        ref = (ref - mean) / std
+        supp = (supp - mean) / std
+        refs, supps = [ref], [supp]
+        for _ in range(levels - 1):
+            refs.insert(0, F.avg_pool2d(refs[0], 2))
+            supps.insert(0, F.avg_pool2d(supps[0], 2))
+        n, _, h, w = refs[0].shape
+        flow = torch.zeros(n, 2, h, w)
+        for lv in range(levels):
+            if lv == 0:
+                up = flow
+            else:
+                up = F.interpolate(flow, scale_factor=2, mode="bilinear",
+                                   align_corners=True) * 2.0
+            _, _, hh, ww = supps[lv].shape
+            gy, gx = torch.meshgrid(torch.arange(hh), torch.arange(ww),
+                                    indexing="ij")
+            grid = torch.stack((gx, gy), 2).float()[None]
+            v = grid + up.permute(0, 2, 3, 1)
+            vx = 2.0 * v[..., 0] / max(ww - 1, 1) - 1.0
+            vy = 2.0 * v[..., 1] / max(hh - 1, 1) - 1.0
+            warped = F.grid_sample(supps[lv], torch.stack((vx, vy), 3),
+                                   mode="bilinear", padding_mode="border",
+                                   align_corners=True)
+            flow = up + mods[lv](torch.cat([refs[lv], warped, up], 1))
+        return flow
+
+    sd = {}
+    for lv, m in enumerate(mods):
+        for k, v in m.state_dict().items():
+            sd[f"basic_module.{lv}.basic_module.{k}"] = v
+    params = {"params": cv.convert_spynet(sd)}
+
+    a = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_flow = torch_flow(torch.from_numpy(a.transpose(0, 3, 1, 2)),
+                              torch.from_numpy(b.transpose(0, 3, 1, 2)))
+    out = SpyNet().apply(params, jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               ref_flow.numpy(), atol=5e-4)
