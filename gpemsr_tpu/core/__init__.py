@@ -1,0 +1,1 @@
+from gpemsr_tpu.core.config import ExperimentConfig, SegConfig, load_yaml

@@ -1,0 +1,2 @@
+from gpemsr_tpu.data.datasets import CREMIDataset, IndexerDataset, VQGANDataset
+from gpemsr_tpu.data.sampler import EpochShardSampler, Loader

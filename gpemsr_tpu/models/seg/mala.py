@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from gpemsr_tpu.ops.conv3d import Conv3D
+
 
 def _lrelu(x):
     return jax.nn.leaky_relu(x, 0.005)
@@ -46,7 +48,7 @@ class UNetMALA(nn.Module):
     @nn.compact
     def __call__(self, x):
         def conv(h, f, name, kernel=(3, 3, 3)):
-            return nn.Conv(f, kernel, padding="VALID", name=name)(h)
+            return Conv3D(f, kernel, padding="VALID", name=name)(h)
 
         c1 = _lrelu(conv(x, 12, "conv1"))
         c2 = _lrelu(conv(c1, 12, "conv2"))

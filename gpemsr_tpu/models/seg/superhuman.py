@@ -13,12 +13,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from gpemsr_tpu.ops.conv3d import Conv3D
 from gpemsr_tpu.ops.resize import resize_trilinear
 
 
-def conv3d(x, features, kernel, pad, use_bias=True, name=None, module=None):
-    return nn.Conv(features, kernel, padding=[(p, p) for p in pad],
-                   use_bias=use_bias, name=name)(x)
 
 
 class BNELU(nn.Module):
@@ -43,14 +41,14 @@ class ResBlockPNI(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         f = self.features
-        r = nn.Conv(f, (1, 3, 3), padding=[(0, 0), (1, 1), (1, 1)],
-                    use_bias=False, name="embed")(x)
+        r = Conv3D(f, (1, 3, 3), padding=((0, 0), (1, 1), (1, 1)),
+                   use_bias=False, name="embed")(x)
         r = BNELU(name="bn_embed")(r, train)
-        h = nn.Conv(f, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
-                    name="conv1")(r)
+        h = Conv3D(f, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
+                   name="conv1")(r)
         h = BNELU(name="bn1")(h, train)
-        h = nn.Conv(f, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
-                    name="conv2")(h)
+        h = Conv3D(f, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
+                   name="conv2")(h)
         out = r + h
         out = BNELU(name="bn_out")(out, train)
         return out
@@ -65,7 +63,8 @@ class UpsampleBlock(nn.Module):
     def __call__(self, x):
         B, D, H, W, C = x.shape
         x = resize_trilinear(x, D, H * 2, W * 2, align_corners=True)
-        return nn.Conv(self.features, (1, 1, 1), name="conv")(x)
+        return Conv3D(self.features, (1, 1, 1),
+                      padding=((0, 0),) * 3, name="conv")(x)
 
 
 class UNetSuperhuman(nn.Module):
@@ -79,8 +78,8 @@ class UNetSuperhuman(nn.Module):
         f = list(self.filters)
         f2 = [f[0]] + f                      # [28, 28, 36, 48, 64, 80]
 
-        h = nn.Conv(f2[0], (1, 5, 5), padding=[(0, 0), (2, 2), (2, 2)],
-                    name="embed_in")(x)
+        h = Conv3D(f2[0], (1, 5, 5), padding=((0, 0), (2, 2), (2, 2)),
+                   name="embed_in")(x)
         h = jax.nn.elu(h)
 
         skips = []
@@ -98,10 +97,11 @@ class UNetSuperhuman(nn.Module):
             h = BNELU(name=f"merge_bn{i}")(h, train)
             h = ResBlockPNI(f2[lvl + 1], name=f"dec{i}")(h, train)
 
-        h = nn.Conv(f2[0], (1, 5, 5), padding=[(0, 0), (2, 2), (2, 2)],
-                    name="embed_out")(h)
+        h = Conv3D(f2[0], (1, 5, 5), padding=((0, 0), (2, 2), (2, 2)),
+                   name="embed_out")(h)
         h = jax.nn.elu(h)
-        out = nn.Conv(self.out_planes, (1, 1, 1), name="out")(h)
+        out = Conv3D(self.out_planes, (1, 1, 1), padding=((0, 0),) * 3,
+                     name="out")(h)
         if self.if_sigmoid:
             out = jax.nn.sigmoid(out)
         return out

@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from gpemsr_tpu.ops.conv3d import Conv3D
+
 
 class TransformerBlock(nn.Module):
     dim: int
@@ -41,8 +43,8 @@ class _DeconvBlock(nn.Module):
     def __call__(self, x):
         B, D, H, W, C = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=2), 2, axis=3)
-        x = nn.Conv(self.features, (3, 3, 3), padding=[(1, 1)] * 3,
-                    name="conv")(x)
+        x = Conv3D(self.features, (3, 3, 3), padding=((1, 1),) * 3,
+                   name="conv")(x)
         x = nn.GroupNorm(num_groups=min(8, self.features), name="gn")(x)
         return jax.nn.relu(x)
 
@@ -65,8 +67,8 @@ class UNETR(nn.Module):
         n = D * gh * gw
 
         # patch embedding: (1, p, p) conv stride (1, p, p)
-        emb = nn.Conv(self.embed_dim, (1, p, p), strides=(1, p, p),
-                      name="patch_embed")(x)               # [B, D, gh, gw, E]
+        emb = Conv3D(self.embed_dim, (1, p, p), strides=(1, p, p),
+                     padding="VALID", name="patch_embed")(x)               # [B, D, gh, gw, E]
         tokens = emb.reshape(B, n, self.embed_dim)
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, n, self.embed_dim))
@@ -89,26 +91,27 @@ class UNETR(nn.Module):
         # of earlier taps (classic UNETR wiring, compacted)
         d = _DeconvBlock(f * 8, name="up12")(grid(z12))            # p/2
         s9 = _DeconvBlock(f * 8, name="skip9")(grid(z9))
-        d = nn.Conv(f * 8, (3, 3, 3), padding=[(1, 1)] * 3, name="merge9")(
+        d = Conv3D(f * 8, (3, 3, 3), padding=((1, 1),) * 3, name="merge9")(
             jnp.concatenate([d, s9], axis=-1))
         d = _DeconvBlock(f * 4, name="up9")(jax.nn.relu(d))        # p/4
         s6 = _DeconvBlock(f * 8, name="skip6a")(grid(z6))
         s6 = _DeconvBlock(f * 4, name="skip6b")(s6)
-        d = nn.Conv(f * 4, (3, 3, 3), padding=[(1, 1)] * 3, name="merge6")(
+        d = Conv3D(f * 4, (3, 3, 3), padding=((1, 1),) * 3, name="merge6")(
             jnp.concatenate([d, s6], axis=-1))
         d = _DeconvBlock(f * 2, name="up6")(jax.nn.relu(d))        # p/8
         s3 = _DeconvBlock(f * 8, name="skip3a")(grid(z3))
         s3 = _DeconvBlock(f * 4, name="skip3b")(s3)
         s3 = _DeconvBlock(f * 2, name="skip3c")(s3)
-        d = nn.Conv(f * 2, (3, 3, 3), padding=[(1, 1)] * 3, name="merge3")(
+        d = Conv3D(f * 2, (3, 3, 3), padding=((1, 1),) * 3, name="merge3")(
             jnp.concatenate([d, s3], axis=-1))
         d = _DeconvBlock(f, name="up3")(jax.nn.relu(d))            # p/16 = 1x
         # image-resolution stem skip
-        stem = nn.Conv(f, (1, 3, 3), padding=[(0, 0), (1, 1), (1, 1)],
-                       name="stem")(x)
-        d = nn.Conv(f, (3, 3, 3), padding=[(1, 1)] * 3, name="merge0")(
+        stem = Conv3D(f, (1, 3, 3), padding=((0, 0), (1, 1), (1, 1)),
+                      name="stem")(x)
+        d = Conv3D(f, (3, 3, 3), padding=((1, 1),) * 3, name="merge0")(
             jnp.concatenate([d, jax.nn.relu(stem)], axis=-1))
-        out = nn.Conv(self.out_planes, (1, 1, 1), name="head")(jax.nn.relu(d))
+        out = Conv3D(self.out_planes, (1, 1, 1), padding=((0, 0),) * 3,
+                     name="head")(jax.nn.relu(d))
         return jax.nn.sigmoid(out)
 
 

@@ -84,8 +84,10 @@ def test_mala_conversion(rng):
         def __call__(self, x):
             from gpemsr_tpu.models.seg.mala import DepthwiseUp, _crop_add, _lrelu
 
+            from gpemsr_tpu.ops.conv3d import Conv3D
+
             def conv(h, f, name, kernel=(3, 3, 3)):
-                return fnn.Conv(f, kernel, padding="VALID", name=name)(h)
+                return Conv3D(f, kernel, padding="VALID", name=name)(h)
 
             c2 = _lrelu(conv(_lrelu(conv(x, 4, "conv1")), 4, "conv2"))
             p1 = fnn.max_pool(c2, (1, 3, 3), strides=(1, 3, 3))

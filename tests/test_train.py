@@ -145,3 +145,26 @@ def test_stage1_data_parallel_mesh(rng):
         jax.device_get(g_state), jax.device_get(d_params), jax.device_get(imgs))
     np.testing.assert_allclose(float(metrics["rec_loss"]),
                                float(local_metrics["rec_loss"]), rtol=1e-5)
+
+
+def test_training_determinism(rng):
+    """Same seeds -> bit-identical params after 2 stage-2 steps (SURVEY §5.2:
+    explicit PRNG threading makes the race classes of the reference vanish)."""
+    from gpemsr_tpu.train.stage2 import init_stage2, make_stage2_step
+
+    tcfg = TrainConfig(lr_G=1e-3, T_period=[100], restarts=[], restart_weights=[])
+    lr_img = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 1)).astype(np.float32))
+    gt_img = jnp.asarray(rng.uniform(0, 1, (2, 128, 128, 1)).astype(np.float32))
+
+    results = []
+    for _ in range(2):
+        model, state, frozen = init_stage2(jax.random.PRNGKey(7), tiny_prior(),
+                                           tcfg, lr_img, gt_img)
+        step = make_stage2_step(model)
+        for _ in range(2):
+            state, _ = step(state, frozen, lr_img, gt_img)
+        results.append(jax.device_get(state.params))
+    a, b = results
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
+        a, b)

@@ -1,0 +1,89 @@
+"""Segmentation-network training CLI (completes the capability surface: the
+reference ships the training data provider but no entry point).
+
+Usage: python train_seg.py -c configs/seg_x16_superhuman.yml \
+          --raw volume.h5 --labels labels.h5 [--steps 10000]"""
+
+import argparse
+
+from gpemsr_tpu.core.platform import init_platform
+
+init_platform()
+import os
+import pickle
+
+import numpy as np
+
+from gpemsr_tpu.core.config import SegConfig, load_yaml
+
+
+def _load_h5(path, key="main"):
+    import h5py
+    with h5py.File(path, "r") as f:
+        return f[key][:]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpemsr_tpu.core import checkpoint as ckpt
+    from gpemsr_tpu.core.logging import setup_logger
+    from gpemsr_tpu.data.seg_provider import SegTrainProvider
+    from gpemsr_tpu.models.seg.mala import UNetMALA
+    from gpemsr_tpu.models.seg.superhuman import UNetSuperhuman
+    from gpemsr_tpu.models.seg.unetr import UNETR
+    from gpemsr_tpu.train.seg import init_seg_state
+
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--cfg", type=str, required=True)
+    p.add_argument("--raw", type=str, required=True, help="raw volume h5")
+    p.add_argument("--labels", type=str, required=True, help="labels h5")
+    p.add_argument("--steps", type=int, default=100000)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--out", type=str, default="./runs/seg")
+    p.add_argument("--save-every", type=int, default=5000)
+    args = p.parse_args()
+    cfg = load_yaml(args.cfg, SegConfig)
+
+    logger = setup_logger("gpemsr", os.path.join(args.out, "log"))
+    raw = _load_h5(args.raw)
+    labels = _load_h5(args.labels)
+
+    mt = cfg.model.model_type
+    if mt == "superhuman":
+        model = UNetSuperhuman(filters=tuple(cfg.model.filters),
+                               out_planes=cfg.model.output_nc)
+        crop = (18, 160, 160)
+    elif mt == "mala":
+        model = UNetMALA(out_planes=cfg.model.output_nc)
+        crop = (53, 268, 268)
+    else:
+        model = UNETR(out_planes=cfg.model.output_nc)
+        crop = (18, 160, 160)
+
+    provider = SegTrainProvider(raw, labels, crop_size=crop,
+                                widen_border=cfg.data.widen_way)
+    sample = jnp.zeros((args.batch,) + crop + (1,), jnp.float32)
+    state, batch_stats, step_fn = init_seg_state(
+        jax.random.PRNGKey(0), model, sample, lr=args.lr)
+
+    ckpt_dir = os.path.join(args.out, "checkpoints")
+    for step in range(1, args.steps + 1):
+        imgs, affs, w = provider.batch(args.batch, seed=step)
+        state, batch_stats, m = step_fn(state, batch_stats,
+                                        jnp.asarray(imgs), jnp.asarray(affs),
+                                        jnp.asarray(w))
+        if step % 100 == 0:
+            logger.info("step %d: bce=%.5f", step, float(m["bce_loss"]))
+        if step % args.save_every == 0:
+            payload = {"params": jax.device_get(state.params),
+                       "batch_stats": jax.device_get(batch_stats),
+                       "step": step}
+            ckpt.save(ckpt_dir, step, payload)
+    logger.info("seg training done (%d steps)", args.steps)
+
+
+if __name__ == "__main__":
+    main()
