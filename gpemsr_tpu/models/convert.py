@@ -219,6 +219,122 @@ def convert_lr_generator(sd, cfg: PriorConfig, indexer_sd=None):
 
 
 # ---------------------------------------------------------------------------
+# GPEMSR stage-3 checkpoint (model/GPEMSR.py layout)
+# ---------------------------------------------------------------------------
+
+def _res_nobn(t: _Tree, sd, src, dst):
+    """basicsr ResidualBlockNoBN: conv1/conv2."""
+    t.conv(sd, f"{src}.conv1", dst + ("conv1",))
+    t.conv(sd, f"{src}.conv2", dst + ("conv2",))
+
+
+def _dcnpack(t: _Tree, sd, src, dst):
+    """basicsr DCNv2Pack: conv_offset (3*G*K ch conv) + deform weight/bias."""
+    t.conv(sd, f"{src}.conv_offset", dst + ("conv_offset",))
+    t.put(dst + ("weight",), jnp.asarray(
+        _np(sd[f"{src}.weight"]).transpose(2, 3, 1, 0).reshape(
+            9, _np(sd[f"{src}.weight"]).shape[1], -1)))
+    t.put(dst + ("bias",), vec(sd[f"{src}.bias"]))
+
+
+def _convert_pod_into(t: _Tree, sd, src, dst):
+    """POD alignment (GPEMSR.py:64-96). The SpyNet inside lives at the
+    GPEMSR top level in our tree (converted separately)."""
+    for i, (a, b) in enumerate([("flowdsconv0_1", "ds0_1"),
+                                ("flowdsconv0_2", "ds0_2"),
+                                ("flowdsconv1_1", "ds1_1"),
+                                ("flowdsconv1_2", "ds1_2"),
+                                ("flowdsconv2_1", "ds2_1"),
+                                ("flowdsconv2_2", "ds2_2")]):
+        t.conv(sd, f"{src}.{a}", dst + ("flow_pyramid", b))
+    for lv in ("L3", "L2", "L1"):
+        for suffix in ("offset_conv1", "offset_conv2", "offset_conv3"):
+            key = f"{src}.{lv}_{suffix}"
+            if f"{key}.weight" in sd:
+                t.conv(sd, key, dst + (f"{lv}_{suffix}",))
+        _dcnpack(t, sd, f"{src}.{lv}_dcnpack", dst + (f"{lv}_dcn",))
+        if f"{src}.{lv}_fea_conv.weight" in sd:
+            t.conv(sd, f"{src}.{lv}_fea_conv", dst + (f"{lv}_fea_conv",))
+    t.conv(sd, f"{src}.cas_offset_conv1", dst + ("cas_offset_conv1",))
+    t.conv(sd, f"{src}.cas_offset_conv2", dst + ("cas_offset_conv2",))
+    _dcnpack(t, sd, f"{src}.cas_dcnpack", dst + ("cas_dcn",))
+
+
+def _convert_threeda_into(t: _Tree, sd, src, dst, nframes=5):
+    for name in ("temporal_attn1", "temporal_attn2", "feat_fusion",
+                 "conv3D_fusion_1", "conv3D_fusion_2", "conv2D_fusion_3",
+                 "spatial_attn1", "spatial_attn2", "spatial_attn3",
+                 "spatial_attn4", "spatial_attn5", "spatial_attn_l1",
+                 "spatial_attn_l2", "spatial_attn_l3", "spatial_attn_add1",
+                 "spatial_attn_add2"):
+        t.conv(sd, f"{src}.{name}", dst + (name,))
+    for name in ("conv3D_1", "conv3D_2"):
+        # Conv3d over frames, kernel 1x1x1: [N, N, 1, 1, 1] -> [N, N]
+        w = _np(sd[f"{src}.{name}.weight"])[:, :, 0, 0, 0]
+        t.put(dst + (f"{name}_w",), jnp.asarray(w))
+        t.put(dst + (f"{name}_b",), vec(sd[f"{src}.{name}.bias"]))
+
+
+def convert_gpemsr(sd, cfg) -> dict:
+    """Full stage-3 GPEMSR checkpoint -> flax params tree.
+
+    cfg: GPEMSRConfig (scale selects the 16to1/8to1 fusion layout)."""
+    t = _Tree()
+    t.conv(sd, "conv_first", ("conv_first",))
+    for i in range(cfg.front_RBs):
+        _res_nobn(t, sd, f"feature_extraction.{i}", (f"front_rb{i}",))
+    # VGG slices -> conv names (only the relu1_2 stage is materialised)
+    for name, idx in _VGG_CONV_IDX.items():
+        key = f"vgg.slice1.{idx}"
+        if int(name[4]) == 1 and f"{key}.weight" in sd:
+            t.raw_conv(sd, key, ("vgg", name))
+    for i in (1, 2, 3):
+        t.conv(sd, f"refmaskconv{i}", (f"refmaskconv{i}",))
+    levels = ("reffea_L2_conv1", "reffea_L3_conv1") + \
+        (("reffea_L4_conv1",) if cfg.scale == 16 else ())
+    for name in levels:
+        t.convT(sd, name, (name,))
+    n_fusion = 4 if cfg.scale == 16 else 3
+    for i in range(1, n_fusion + 1):
+        t.conv(sd, f"reffusionconv{i}", (f"reffusionconv{i}",))
+        for j in range(cfg.ref_fusion_feat_RBs):
+            _res_nobn(t, sd, f"fusion_fea_block{i}.{j}",
+                      (f"fusion_fea_block{i}_{j}",))
+    for i in range(1, n_fusion):
+        t.conv(sd, f"down_fea_conv{i}", (f"down_fea_conv{i}",))
+    t.conv(sd, "reduce_dim_conv", ("reduce_dim_conv",))
+    # frozen prior (the encoder is unused by the SR forward — GPEMSR only
+    # calls ref_extract — so its checkpoint weights are skipped, mirroring
+    # the reference's strict=False load)
+    _convert_decoder_into(t, sd, cfg.prior.decoder, "refmodel.decoder.",
+                          ("refmodel", "decoder"))
+    _convert_indexer_into(t, sd, cfg.prior.indexer, cfg.scale,
+                          "refmodel.indexer.", ("refmodel", "indexer"))
+    t.put(("refmodel", "codebook", "embedding"),
+          vec(sd["refmodel.codebook.embedding.weight"]))
+    # alignment pyramid + POD + SpyNet (ours hangs spynet off the top level)
+    for name in ("fea_L2_conv1", "fea_L2_conv2", "fea_L3_conv1", "fea_L3_conv2"):
+        t.conv(sd, name, (name,))
+    _convert_pod_into(t, sd, "align_module", ("align",))
+    spy_sd = {k[len("align_module.spynet."):]: v for k, v in sd.items()
+              if k.startswith("align_module.spynet.")}
+    spy_tree = convert_spynet(spy_sd)
+    for lv, sub in spy_tree.items():
+        for conv, p in sub.items():
+            for leaf, arr in p.items():
+                t.put(("spynet", lv, conv, leaf), arr)
+    _convert_threeda_into(t, sd, "ThreeDA", ("fusion",), cfg.nframes)
+    for i in range(cfg.back_RBs):
+        _res_nobn(t, sd, f"recon_trunk.{i}", (f"back_rb{i}",))
+    n_up = 4 if cfg.scale == 16 else 3
+    for i in range(1, n_up + 1):
+        t.conv(sd, f"upconv{i}", (f"upconv{i}",))
+    t.conv(sd, "HRconv", ("HRconv",))
+    t.conv(sd, "conv_last", ("conv_last",))
+    return t.tree()
+
+
+# ---------------------------------------------------------------------------
 # SpyNet / VGG19
 # ---------------------------------------------------------------------------
 

@@ -258,10 +258,13 @@ class GPEMSR(nn.Module):
         for i in range(c.back_RBs):
             out = ResidualBlockNoBN(nf, name=f"back_rb{i}")(out)
 
+        # upconv1: nf -> nf*4 (shuffles back to nf); later stages work at 64ch
+        # (GPEMSR.py:304-318)
         n_up = 4 if c.scale == 16 else 3
         for i in range(n_up):
+            feats = nf * 4 if i == 0 else 64 * 4
             out = lrelu(pixel_shuffle(
-                Conv(64 * 4, name=f"upconv{i + 1}")(out), 2))
+                Conv(feats, name=f"upconv{i + 1}")(out), 2))
         out = lrelu(Conv(64, name="HRconv")(out))
         out = Conv(1, name="conv_last")(out)
 

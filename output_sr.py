@@ -43,9 +43,19 @@ def main():
     stack = load_lr_stack(lr_dir)
 
     model = GPEMSR(cfg.network)
-    payload = ckpt.restore(cfg.pretrain["EMSR"])
-    model_frozen = {k: v for k, v in payload["frozen"].items() if k != "cx_vgg"}
-    params = {"params": merge_params(payload["params"], model_frozen)}
+    src = cfg.pretrain["EMSR"]
+    if str(src).endswith((".pth", ".pt")):
+        # reference stage-3 torch checkpoint (strict=True layout,
+        # output_GPEMSR.py:52)
+        import torch
+        from gpemsr_tpu.models.convert import convert_gpemsr
+        sd = torch.load(src, map_location="cpu")
+        params = {"params": convert_gpemsr(sd, cfg.network)}
+    else:
+        payload = ckpt.restore(src)
+        model_frozen = {k: v for k, v in payload["frozen"].items()
+                        if k != "cx_vgg"}
+        params = {"params": merge_params(payload["params"], model_frozen)}
 
     apply_fn = jax.jit(lambda lq: model.apply(params, lq))
     sr_stack(apply_fn, stack, n_frames=cfg.network.nframes, out_dir=out_dir)

@@ -24,7 +24,13 @@ def main():
     args = p.parse_args()
     cfg = load_yaml(args.opt, ExperimentConfig)
     stage1_params = None
-    if args.stage1_ckpt:
+    if args.stage1_ckpt and args.stage1_ckpt.endswith((".pth", ".pt")):
+        # reference stage-1 torch checkpoint (strict=False load semantics)
+        import torch
+        from gpemsr_tpu.models.convert import convert_vqgan_generator
+        sd = torch.load(args.stage1_ckpt, map_location="cpu")
+        stage1_params = convert_vqgan_generator(sd, cfg.network.prior)
+    elif args.stage1_ckpt:
         stage1_params = ckpt.restore(args.stage1_ckpt)["g"]
     run_stage2(cfg, args.host_id, args.host_count, stage1_params=stage1_params)
 
