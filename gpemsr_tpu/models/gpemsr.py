@@ -211,7 +211,18 @@ class GPEMSR(nn.Module):
         self.fusion = ThreeDA(nf=c.nf, nframes=c.nframes, center=c.nframes // 2)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, features_only: bool = False, frame_feats=None):
+        """x: [B, N, H, W, 1] frames.
+
+        Standard call: full SR forward. Two extra modes support streaming
+        z-stack inference (consecutive windows share N-1 frames, and every
+        per-frame computation — front trunk, prior bank, VGG mask, fusion,
+        alignment pyramid — can be computed once per SLICE and reused across
+        the windows it appears in; the reference recomputes them per window):
+          * features_only=True: return the per-frame feature pyramid
+            (l1, l2, l3, ref_img), each [B, N, ...].
+          * frame_feats=(l1, l2, l3, ref_img): skip per-frame work and run
+            only the window-level alignment/fusion/reconstruction."""
         c = self.cfg
         B, N, H, W, C = x.shape
         nf = c.nf
@@ -219,20 +230,35 @@ class GPEMSR(nn.Module):
         x_center = x[:, center]
         xf = x.reshape(B * N, H, W, C)
 
-        # per-frame feature extraction
-        l1 = lrelu(Conv(nf, name="conv_first")(xf))
-        for i in range(c.front_RBs):
-            l1 = ResidualBlockNoBN(nf, name=f"front_rb{i}")(l1)
+        if frame_feats is None:
+            # per-frame feature extraction
+            l1 = lrelu(Conv(nf, name="conv_first")(xf))
+            for i in range(c.front_RBs):
+                l1 = ResidualBlockNoBN(nf, name=f"front_rb{i}")(l1)
 
-        ref_img = None
-        if c.w_ref:
-            l1, ref_img = self._prior_fusion(l1, xf, B, N, H, W)
+            ref_img = None
+            if c.w_ref:
+                l1, ref_img = self._prior_fusion(l1, xf, B, N, H, W)
 
-        # alignment pyramid on fused features
-        l2 = lrelu(Conv(nf, stride=2, name="fea_L2_conv1")(l1))
-        l2 = lrelu(Conv(nf, name="fea_L2_conv2")(l2))
-        l3 = lrelu(Conv(nf, stride=2, name="fea_L3_conv1")(l2))
-        l3 = lrelu(Conv(nf, name="fea_L3_conv2")(l3))
+            # alignment pyramid on fused features
+            l2 = lrelu(Conv(nf, stride=2, name="fea_L2_conv1")(l1))
+            l2 = lrelu(Conv(nf, name="fea_L2_conv2")(l2))
+            l3 = lrelu(Conv(nf, stride=2, name="fea_L3_conv1")(l2))
+            l3 = lrelu(Conv(nf, name="fea_L3_conv2")(l3))
+            if features_only:
+                s = c.scale
+                return (l1.reshape(B, N, H, W, nf),
+                        l2.reshape(B, N, H // 2, W // 2, nf),
+                        l3.reshape(B, N, H // 4, W // 4, nf),
+                        None if ref_img is None else
+                        ref_img.reshape(B, N, H * s, W * s, C))
+        else:
+            l1, l2, l3, ref_img = frame_feats
+            l1 = l1.reshape(B * N, H, W, nf)
+            l2 = l2.reshape(B * N, H // 2, W // 2, nf)
+            l3 = l3.reshape(B * N, H // 4, W // 4, nf)
+            if ref_img is not None:
+                ref_img = ref_img.reshape(B * N, H * c.scale, W * c.scale, C)
 
         def split_center(t, h, w):
             t = t.reshape(B, N, h, w, nf)

@@ -28,7 +28,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from gpemsr_tpu.infer.sr import sr_stack
+    from gpemsr_tpu.infer.sr import sr_stack, sr_stack_streaming
     from gpemsr_tpu.models.gpemsr import GPEMSR
     from gpemsr_tpu.train.common import merge_params
 
@@ -57,8 +57,10 @@ def main():
                         if k != "cx_vgg"}
         params = {"params": merge_params(payload["params"], model_frozen)}
 
-    apply_fn = jax.jit(lambda lq: model.apply(params, lq))
-    sr_stack(apply_fn, stack, n_frames=cfg.network.nframes, out_dir=out_dir)
+    # streaming: per-frame features computed once per slice and shared
+    # across the 5 windows containing it (bit-identical, ~2x faster)
+    sr_stack_streaming(model, params, stack, n_frames=cfg.network.nframes,
+                       out_dir=out_dir)
     print(f"wrote {stack.shape[0]} SR sections to {out_dir}")
 
 

@@ -101,3 +101,22 @@ def test_spatial_sharded_sr(rng):
         parts.append(np.asarray(sr[0, halo * 16: sr.shape[1] - halo * 16]))
     ref = np.concatenate(parts, axis=0)[None]
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_streaming_sr_matches_per_window(rng):
+    """Streaming (per-slice feature reuse) == per-window forward, exactly."""
+    from gpemsr_tpu.core.config import GPEMSRConfig
+    from gpemsr_tpu.infer.sr import sr_stack, sr_stack_streaming
+    from gpemsr_tpu.models.gpemsr import GPEMSR
+    from tests.test_models import tiny_prior
+
+    cfg = GPEMSRConfig(nf=16, groups=4, front_RBs=1, back_RBs=1,
+                       ref_fusion_feat_RBs=1, scale=16, prior=tiny_prior(16))
+    model = GPEMSR(cfg)
+    stack = rng.uniform(0, 1, (6, 8, 8, 1)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 5, 8, 8, 1), jnp.float32))
+    apply_fn = jax.jit(lambda lq: model.apply(params, lq))
+    a = sr_stack(apply_fn, stack)
+    b = sr_stack_streaming(model, params, stack)
+    np.testing.assert_array_equal(a, b)
