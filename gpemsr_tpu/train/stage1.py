@@ -25,8 +25,8 @@ def create_models(prior_cfg: PriorConfig, disc_cfg: DiscriminatorConfig):
 
 
 def init_states(rng, gen, disc, tcfg: TrainConfig, sample):
-    g_params = gen.init(rng, sample)["params"]
-    d_params = disc.init(jax.random.fold_in(rng, 1), sample)["params"]
+    g_params = jax.jit(gen.init)(rng, sample)["params"]
+    d_params = jax.jit(disc.init)(jax.random.fold_in(rng, 1), sample)["params"]
     g_state = TrainState.create(g_params, make_optimizer(tcfg, tcfg.lr_G))
     d_state = TrainState.create(d_params, make_optimizer(tcfg, tcfg.lr_D))
     return g_state, d_state

@@ -20,8 +20,9 @@ FROZEN = ("encoder", "decoder", "codebook")
 def init_stage2(rng, cfg: PriorConfig, tcfg: TrainConfig, sample_lr, sample_gt,
                 pretrained_params=None):
     model = LRGenerator(cfg)
-    params = model.init(rng, sample_lr, sample_gt,
-                        method=LRGenerator.init_all)["params"]
+    params = jax.jit(lambda r, a, b: model.init(
+        r, a, b, method=LRGenerator.init_all))(
+            rng, sample_lr, sample_gt)["params"]
     if pretrained_params is not None:
         # stage-1 weights (strict=False load in the reference — only the
         # overlapping VQGAN subtrees transfer, train_stage2.py:124-125)

@@ -23,7 +23,9 @@ FROZEN = ("refmodel", "spynet", "vgg")
 def init_stage3(rng, cfg: GPEMSRConfig, tcfg: TrainConfig, sample_lq,
                 pretrained: dict | None = None):
     model = GPEMSR(cfg)
-    params = model.init(rng, sample_lq)["params"]
+    # jitted init: one compile instead of per-op dispatch (slow on
+    # remote-compile setups)
+    params = jax.jit(model.init)(rng, sample_lq)["params"]
     if pretrained:
         for k, v in pretrained.items():
             params[k] = v
