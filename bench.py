@@ -22,9 +22,16 @@ A100_BASELINE_MPIX_S = 2.0
 
 
 def main():
+    import os
     import sys
 
     import jax
+
+    # persistent compilation cache: the full-model compile takes ~10 min over
+    # this environment's remote-compile tunnel; cache hits make re-runs fast
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 

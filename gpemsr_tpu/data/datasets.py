@@ -182,6 +182,8 @@ class CREMIDataset:
         frames = [read_img(seek_slice(lq_dir, center, o)) for o in self.offsets]
 
         if self.train:
+            if self.cfg.random_reverse and rng.random() < 0.5:
+                frames = frames[::-1]        # temporal flip augmentation
             gs = self.cfg.GT_size
             ls = gs // self.scale
             Hl, Wl, _ = frames[0].shape

@@ -124,11 +124,20 @@ def run_stage1(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1):
     def validate(step):
         if val_set is None:
             return {}
+        from gpemsr_tpu.utils.image import save_img
+        vis_dir = os.path.join(runner.exp_dir, "val", str(step))
         psnrs = []
         for i in range(len(val_set)):
             img = val_set[i][None]
             dec = np.asarray(gen_fwd(trainer.g_state.params, jnp.asarray(img)))
             psnrs.append(psnr_of(dec[0], img[0]))
+            if i < 20:   # qualitative dumps (train_stage1.py:219-224)
+                os.makedirs(os.path.join(vis_dir, "fake"), exist_ok=True)
+                os.makedirs(os.path.join(vis_dir, "original"), exist_ok=True)
+                save_img(tensor2img(dec[0]),
+                         os.path.join(vis_dir, "fake", f"{i}.png"))
+                save_img(tensor2img(img[0]),
+                         os.path.join(vis_dir, "original", f"{i}.png"))
         return {"psnr_avg": float(np.mean(psnrs))}
 
     def train_step(step, batch):
