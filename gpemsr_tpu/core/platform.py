@@ -15,3 +15,15 @@ def init_platform():
     if force:
         from gpemsr_tpu.parallel.mesh import ensure_cpu_devices
         ensure_cpu_devices(max(1, int(force)))
+    # persistent compilation cache (large graphs compile in minutes over
+    # remote-compile tunnels; cache hits make restarts cheap)
+    cache = os.environ.get(
+        "GPEMSR_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache"))
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

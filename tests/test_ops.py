@@ -192,3 +192,20 @@ def test_contextual_loss_matches_torch(rng):
     val = (rm * c).squeeze(1).sum(1) / c.squeeze(1).sum(1)
     ref = (-torch.log(val + 1e-5)).mean()
     np.testing.assert_allclose(float(out), float(ref), atol=1e-5)
+
+
+def test_deform_conv_dense_equals_gather(rng):
+    """The dense one-hot path (training-size maps) must match the gather path."""
+    B, H, W, C, G = 2, 6, 6, 16, 4
+    K = 9
+    x = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    offset = (rng.standard_normal((B, H, W, 2 * G * K)) * 1.5).astype(np.float32)
+    mask = rng.uniform(0, 1, (B, H, W, G * K)).astype(np.float32)
+    w = (rng.standard_normal((C, C, 3, 3)) * 0.1).astype(np.float32)
+    b = rng.standard_normal(C).astype(np.float32)
+    args = (jnp.asarray(x), jnp.asarray(offset), jnp.asarray(mask),
+            torch_weight_to_dcn(w), jnp.asarray(b))
+    dense = deform_conv2d(*args, deformable_groups=G, dense_threshold=1024)
+    gathered = deform_conv2d(*args, deformable_groups=G, dense_threshold=0)
+    np.testing.assert_allclose(np.asarray(dense), np.asarray(gathered),
+                               atol=2e-4)
