@@ -360,3 +360,120 @@ def test_convert_gpemsr_full_tree_congruence(rng):
     assert not extra, f"converter extra params: {extra[:8]}"
     for k in want:
         assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_convert_gpemsr_x8_tree_congruence(rng):
+    """Same congruence check for the 8to1 layout (3 fusion levels, one fewer
+    reffea/upconv, reduce_dim over 4*nf)."""
+    from gpemsr_tpu.core.config import GPEMSRConfig
+    from gpemsr_tpu.models.gpemsr import GPEMSR
+    from tests.test_convert import TDecoder, TIndexer
+    from tests.test_models import tiny_prior
+    from flax.traverse_util import flatten_dict
+
+    prior = tiny_prior(8)
+    cfg = GPEMSRConfig(nf=16, groups=4, front_RBs=1, back_RBs=1,
+                       ref_fusion_feat_RBs=1, scale=8, prior=prior)
+    nf = cfg.nf
+    sd = {}
+
+    def conv(name, co, ci, k=3):
+        sd[f"{name}.weight"] = torch.randn(co, ci, k, k) * 0.05
+        sd[f"{name}.bias"] = torch.randn(co)
+
+    def convT(name, ci, co, k=3):
+        sd[f"{name}.weight"] = torch.randn(ci, co, k, k) * 0.05
+        sd[f"{name}.bias"] = torch.randn(co)
+
+    def res_nobn(name, c):
+        conv(f"{name}.conv1", c, c)
+        conv(f"{name}.conv2", c, c)
+
+    def dcn(name, c, g):
+        conv(f"{name}.conv_offset", 3 * g * 9, c)
+        sd[f"{name}.weight"] = torch.randn(c, c, 3, 3) * 0.05
+        sd[f"{name}.bias"] = torch.randn(c)
+
+    conv("conv_first", nf, 1)
+    res_nobn("feature_extraction.0", nf)
+    conv("vgg.slice1.0", 64, 3)
+    conv("vgg.slice1.2", 64, 64)
+    conv("refmaskconv1", nf, 1)
+    conv("refmaskconv2", nf, nf)
+    conv("refmaskconv3", 1, nf)
+    for name in ("reffea_L2_conv1", "reffea_L3_conv1"):
+        convT(name, nf, nf)
+    dch = list(prior.decoder.channel_list)
+    conv("reffusionconv1", nf, nf + dch[3])
+    res_nobn("fusion_fea_block1.0", nf)
+    conv("down_fea_conv1", nf, nf)
+    conv("reffusionconv2", nf, 2 * nf + dch[2])
+    res_nobn("fusion_fea_block2.0", nf)
+    conv("down_fea_conv2", 2 * nf, 2 * nf)
+    conv("reffusionconv3", nf, 3 * nf + dch[1])
+    res_nobn("fusion_fea_block3.0", nf)
+    conv("reduce_dim_conv", nf, 4 * nf, k=1)
+    torch.manual_seed(5)
+    for mod, pre in ((TDecoder(prior.decoder), "refmodel.decoder."),
+                     (TIndexer(prior.indexer, 8), "refmodel.indexer.")):
+        for k, v in mod.state_dict().items():
+            sd[pre + k] = v
+    sd["refmodel.codebook.embedding.weight"] = torch.randn(
+        prior.codebook.num_codebook_vectors, prior.codebook.latent_dim)
+    for name in ("fea_L2_conv1", "fea_L2_conv2", "fea_L3_conv1", "fea_L3_conv2"):
+        conv(name, nf, nf)
+    a = "align_module"
+    for i in ("0_1", "0_2", "1_1", "1_2", "2_1", "2_2"):
+        conv(f"{a}.flowdsconv{i}", 16, 2 if i.startswith("0") else 16)
+    for lv in ("L3", "L2", "L1"):
+        conv(f"{a}.{lv}_offset_conv1", nf, nf * 2 + 34)
+        conv(f"{a}.{lv}_offset_conv2", nf, nf if lv == "L3" else nf * 2)
+        if lv != "L3":
+            conv(f"{a}.{lv}_offset_conv3", nf, nf)
+            conv(f"{a}.{lv}_fea_conv", nf, nf * 2)
+        dcn(f"{a}.{lv}_dcnpack", nf, cfg.groups)
+    conv(f"{a}.cas_offset_conv1", nf, nf * 2)
+    conv(f"{a}.cas_offset_conv2", nf, nf)
+    dcn(f"{a}.cas_dcnpack", nf, cfg.groups)
+    widths = [(8, 32), (32, 64), (64, 32), (32, 16), (16, 2)]
+    for lv in range(6):
+        for j, (ci, co) in enumerate(widths):
+            conv(f"{a}.spynet.basic_module.{lv}.basic_module.{2 * j}", co, ci,
+                 k=7)
+    t = cfg.nframes
+    conv("ThreeDA.temporal_attn1", nf, nf)
+    conv("ThreeDA.temporal_attn2", nf, nf)
+    conv("ThreeDA.feat_fusion", nf, t * nf, k=1)
+    for name in ("conv3D_1", "conv3D_2"):
+        sd[f"ThreeDA.{name}.weight"] = torch.randn(t, t, 1, 1, 1) * 0.1
+        sd[f"ThreeDA.{name}.bias"] = torch.randn(t)
+    conv("ThreeDA.conv3D_fusion_1", nf, t * nf, k=1)
+    conv("ThreeDA.conv3D_fusion_2", nf, t * nf, k=1)
+    conv("ThreeDA.conv2D_fusion_3", nf, nf, k=1)
+    conv("ThreeDA.spatial_attn1", nf, t * nf, k=1)
+    conv("ThreeDA.spatial_attn2", nf, 2 * nf, k=1)
+    conv("ThreeDA.spatial_attn3", nf, nf)
+    conv("ThreeDA.spatial_attn4", nf, nf, k=1)
+    conv("ThreeDA.spatial_attn5", nf, nf)
+    conv("ThreeDA.spatial_attn_l1", nf, nf, k=1)
+    conv("ThreeDA.spatial_attn_l2", nf, 2 * nf)
+    conv("ThreeDA.spatial_attn_l3", nf, nf)
+    conv("ThreeDA.spatial_attn_add1", nf, nf, k=1)
+    conv("ThreeDA.spatial_attn_add2", nf, nf, k=1)
+    res_nobn("recon_trunk.0", nf)
+    conv("upconv1", nf * 4, nf)
+    conv("upconv2", 64 * 4, nf)
+    conv("upconv3", 64 * 4, 64)
+    conv("HRconv", 64, 64)
+    conv("conv_last", 1, 64)
+
+    tree = cv.convert_gpemsr(sd, cfg)
+    model = GPEMSR(cfg)
+    x = jnp.zeros((1, 5, 8, 8, 1), jnp.float32)
+    ref_tree = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
+    got = {k: v.shape for k, v in flatten_dict(tree).items()}
+    want = {k[1:]: v.shape for k, v in flatten_dict(ref_tree).items()
+            if k[0] == "params"}
+    assert sorted(map(str, got)) == sorted(map(str, want))
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
