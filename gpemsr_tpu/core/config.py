@@ -168,8 +168,13 @@ class TrainConfig:
     r1_reg_weight: float = 1e-4
     net_d_reg_every: int = 16
     generator_update_rate: int = 1
-    # stage-3 (train_stage3_x16.yml:103-106)
+    # stage-3 (train_stage3_x16.yml:103-106); CX options mirror the
+    # ContextualLoss constructor surface (model/contextual.py:191-196)
     ref_loss_factor: float = 0.01
+    cx_loss_type: str = "cosine"     # 'cosine' | 'L1' | 'L2'
+    cx_band_width: float = 0.5
+    cx_is_cobi: bool = False
+    cx_weight_sp: float = 0.1
     logger_freq: int = 100
 
 

@@ -9,7 +9,6 @@ numpy/PIL releasing the GIL)."""
 
 from __future__ import annotations
 
-import queue
 import threading
 from typing import Iterator
 
@@ -47,39 +46,69 @@ class Loader:
         self.collate = collate or _default_collate
 
     def epoch(self, epoch: int) -> Iterator:
+        """Ordered batch stream for one epoch. Condition-variable hand-off so
+        workers always terminate: if the consumer abandons the generator
+        (break / exception), the `finally` closes the epoch and every worker
+        exits instead of blocking on a full queue forever. Worker exceptions
+        are re-raised in the consumer rather than hanging it."""
         indices = self.sampler.epoch_indices(epoch)
         n_batches = len(indices) // self.batch_size  # drop_last=True
-        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
-        job_q: "queue.Queue" = queue.Queue()
-        for b in range(n_batches):
-            job_q.put(b)
+        window = self.prefetch + self.num_workers    # max batches in flight
 
-        results = {}
-        lock = threading.Lock()
-        next_emit = [0]
+        cond = threading.Condition()
+        results: dict = {}
+        state = {"next_job": 0, "next_emit": 0, "closed": False}
+
+        class _Failure:
+            def __init__(self, exc):
+                self.exc = exc
+
+        def make_batch(b: int):
+            batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
+            samples = [self.dataset[(int(i), (epoch << 32) ^ (b * self.batch_size + j))]
+                       for j, i in enumerate(batch_idx)]
+            return self.collate(samples)
 
         def worker():
             while True:
+                with cond:
+                    while (not state["closed"] and state["next_job"] < n_batches
+                           and state["next_job"] - state["next_emit"] >= window):
+                        cond.wait()
+                    if state["closed"] or state["next_job"] >= n_batches:
+                        return
+                    b = state["next_job"]
+                    state["next_job"] += 1
                 try:
-                    b = job_q.get_nowait()
-                except queue.Empty:
-                    return
-                batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
-                samples = [self.dataset[(int(i), (epoch << 32) ^ (b * self.batch_size + j))]
-                           for j, i in enumerate(batch_idx)]
-                batch = self.collate(samples)
-                with lock:
+                    batch = make_batch(b)
+                except BaseException as e:   # surfaced to the consumer
+                    batch = _Failure(e)
+                with cond:
                     results[b] = batch
-                    while next_emit[0] in results:
-                        out_q.put(results.pop(next_emit[0]))
-                        next_emit[0] += 1
+                    cond.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
         for t in threads:
             t.start()
-        for _ in range(n_batches):
-            yield out_q.get()
+        try:
+            for i in range(n_batches):
+                with cond:
+                    while i not in results:
+                        cond.wait()
+                    batch = results.pop(i)
+                    state["next_emit"] = i + 1
+                    cond.notify_all()
+                if isinstance(batch, _Failure):
+                    raise batch.exc
+                yield batch
+        finally:
+            with cond:
+                state["closed"] = True
+                results.clear()
+                cond.notify_all()
+            for t in threads:
+                t.join(timeout=5.0)
 
 
 def _default_collate(samples):

@@ -63,6 +63,30 @@ def shard_batch(batch: Any, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
+def host_shard_batch(batch: Any, mesh: Mesh):
+    """Assemble the global batch from this host's local shard. Single-process:
+    plain sharded device_put. Multi-host SPMD: every host loads its
+    1/process_count of the global batch (the reference's per-rank
+    batch_size//world_size split, data/__init__.py:13-14) and the global
+    array is formed from the process-local data."""
+    s = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(s, np.asarray(x)),
+        batch)
+
+
 def replicate(tree: Any, mesh: Mesh):
     r = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
+
+
+def production_mesh(parallel_cfg) -> Mesh:
+    """Build the training mesh from ParallelConfig: data=-1 means all
+    (remaining) devices on the data axis — the out-of-the-box analog of the
+    reference's one-process-per-GPU DDP default (train_stage1.py:18-25)."""
+    n = len(jax.devices())
+    spatial = max(1, parallel_cfg.spatial)
+    data = parallel_cfg.data if parallel_cfg.data > 0 else max(1, n // spatial)
+    return make_mesh(data=data, spatial=spatial)

