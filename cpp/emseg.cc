@@ -148,8 +148,13 @@ void regmax2d(const float* img, int h, int w, int conn, uint8_t* out) {
 }
 
 // ---------------------------------------------------------------------------
-// Seeded watershed (priority flood): flood from markers by increasing
-// surface value, FIFO tie-break; every pixel gets a label.
+// Seeded watershed: flood from markers by increasing surface value, FIFO
+// tie-break; every pixel gets a label. Matches mahotas.cwatershed exactly:
+// a pixel enters the queue with ITS OWN surface value as priority (mahotas
+// _morph.cpp MarkerInfo cost = array[n]) — not the flooding level
+// max(surface, parent) — and is claimed by the first flood to reach it.
+// The two variants differ on unseeded basins behind a pass: mahotas races
+// down into them immediately, flooding-level waits at the pass height.
 // ---------------------------------------------------------------------------
 
 struct PQItem {
@@ -187,7 +192,7 @@ void cwatershed2d(const float* surface, const int32_t* markers, int h, int w,
       int64_t r = (int64_t)ny * w + nx;
       if (out[r] == 0) {
         out[r] = it.label;
-        pq.push({std::max(surface[r], it.value), order++, r, it.label});
+        pq.push({surface[r], order++, r, it.label});
       }
     }
   }

@@ -30,6 +30,8 @@ class DCNPack(nn.Module):
     pairs, mask is sigmoid-activated."""
     nf: int
     groups: int = 8
+    dense_threshold: int = 1024
+    window_radius: int = 0
 
     @nn.compact
     def __call__(self, x, feat):
@@ -42,7 +44,9 @@ class DCNPack(nn.Module):
         w = self.param("weight", nn.initializers.variance_scaling(
             1 / 3, "fan_in", "uniform"), (K, x.shape[-1], self.nf))
         b = self.param("bias", nn.initializers.zeros, (self.nf,))
-        return deform_conv2d(x, offset, mask, w, b, deformable_groups=G)
+        return deform_conv2d(x, offset, mask, w, b, deformable_groups=G,
+                             dense_threshold=self.dense_threshold,
+                             window_radius=self.window_radius)
 
 
 class PyramidFlowFeatures(nn.Module):
@@ -70,6 +74,13 @@ class POD(nn.Module):
     Python; we broadcast the reference features instead)."""
     nf: int = 64
     groups: int = 8
+    dense_threshold: int = 1024
+    window_radius: int = 0
+
+    def _dcn(self, name):
+        return DCNPack(self.nf, self.groups, name=name,
+                       dense_threshold=self.dense_threshold,
+                       window_radius=self.window_radius)
 
     @nn.compact
     def __call__(self, nbr_fea_l, ref_fea_l, nbr_frame, ref_frame, spynet: SpyNet):
@@ -92,7 +103,7 @@ class POD(nn.Module):
             [nbr_fea_l[2], ref_fea_l[2], f1_l3, f2_l3, nbr_l3, ref_l3], axis=-1)
         l3_off = lrelu(Conv(self.nf, name="L3_offset_conv1")(l3_in))
         l3_off = lrelu(Conv(self.nf, name="L3_offset_conv2")(l3_off))
-        l3_fea = lrelu(DCNPack(self.nf, self.groups, name="L3_dcn")(
+        l3_fea = lrelu(self._dcn("L3_dcn")(
             nbr_fea_l[2], l3_off))
 
         # L2
@@ -103,7 +114,7 @@ class POD(nn.Module):
         l2_off = lrelu(Conv(self.nf, name="L2_offset_conv2")(
             jnp.concatenate([l2_off, l3_off_up * 2], axis=-1)))
         l2_off = lrelu(Conv(self.nf, name="L2_offset_conv3")(l2_off))
-        l2_fea = DCNPack(self.nf, self.groups, name="L2_dcn")(nbr_fea_l[1], l2_off)
+        l2_fea = self._dcn("L2_dcn")(nbr_fea_l[1], l2_off)
         l3_fea_up = interpolate(l3_fea, 2.0)
         l2_fea = lrelu(Conv(self.nf, name="L2_fea_conv")(
             jnp.concatenate([l2_fea, l3_fea_up], axis=-1)))
@@ -116,7 +127,7 @@ class POD(nn.Module):
         l1_off = lrelu(Conv(self.nf, name="L1_offset_conv2")(
             jnp.concatenate([l1_off, l2_off_up * 2], axis=-1)))
         l1_off = lrelu(Conv(self.nf, name="L1_offset_conv3")(l1_off))
-        l1_fea = DCNPack(self.nf, self.groups, name="L1_dcn")(nbr_fea_l[0], l1_off)
+        l1_fea = self._dcn("L1_dcn")(nbr_fea_l[0], l1_off)
         l2_fea_up = interpolate(l2_fea, 2.0)
         l1_fea = Conv(self.nf, name="L1_fea_conv")(
             jnp.concatenate([l1_fea, l2_fea_up], axis=-1))
@@ -125,7 +136,7 @@ class POD(nn.Module):
         cas = jnp.concatenate([l1_fea, ref_fea_l[0]], axis=-1)
         cas = lrelu(Conv(self.nf, name="cas_offset_conv1")(cas))
         cas = lrelu(Conv(self.nf, name="cas_offset_conv2")(cas))
-        return lrelu(DCNPack(self.nf, self.groups, name="cas_dcn")(l1_fea, cas))
+        return lrelu(self._dcn("cas_dcn")(l1_fea, cas))
 
 
 class ThreeDA(nn.Module):
@@ -207,7 +218,9 @@ class GPEMSR(nn.Module):
         if c.w_ref:
             self.refmodel = LRGenerator(c.prior)
             self.vgg = VGG19Features(max_layer="relu1_2")
-        self.align = POD(nf=c.nf, groups=c.groups)
+        self.align = POD(nf=c.nf, groups=c.groups,
+                 dense_threshold=c.dcn_dense_threshold,
+                 window_radius=c.dcn_window_radius)
         self.fusion = ThreeDA(nf=c.nf, nframes=c.nframes, center=c.nframes // 2)
 
     @nn.compact

@@ -26,7 +26,9 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
                   weight: jax.Array, bias: jax.Array | None = None,
                   kernel_size: int = 3, padding: int = 1,
                   deformable_groups: int = 8,
-                  dense_threshold: int = 1024) -> jax.Array:
+                  dense_threshold: int = 1024,
+                  window_radius: int = 0,
+                  conv_precision=None) -> jax.Array:
     """NHWC modulated deformable conv, stride 1, dilation 1.
 
     Args:
@@ -36,8 +38,40 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
       mask:   [B, H, W, G*K] modulation (already sigmoid-activated), or None.
       weight: [K, Cin, Cout] with K taps ordered row-major (ki*kw+kj).
       bias:   [Cout] or None.
+      dense_threshold: maps with H*W at or below this take the dense one-hot
+          MXU path (matmul backward — training scales); larger maps take the
+          Pallas windowed kernel (if window_radius > 0, TPU only) or the
+          slab-gather path.
+      window_radius: displacement window radius for the Pallas kernel
+          (ops/dcn_pallas.py). 0 disables. When enabled, a cheap predicate
+          `lax.cond`s every call to the exact gather path whenever any
+          non-zero bilinear corner falls outside the window, so semantics
+          stay exact for arbitrary offsets.
     """
     B, H, W, Cin = x.shape
+    if (window_radius > 0 and H * W > dense_threshold
+            and jax.default_backend() == "tpu"):
+        from gpemsr_tpu.ops.dcn_pallas import (
+            deform_conv2d_windowed, window_ok)
+
+        def _windowed(ops):
+            xx, oo, mm, ww, bb = ops
+            return deform_conv2d_windowed(
+                xx, oo, mm, ww, bb, kernel_size=kernel_size, padding=padding,
+                deformable_groups=deformable_groups, radius=window_radius)
+
+        def _gather(ops):
+            xx, oo, mm, ww, bb = ops
+            return deform_conv2d(
+                xx, oo, mm, ww, bb, kernel_size=kernel_size, padding=padding,
+                deformable_groups=deformable_groups, dense_threshold=0,
+                conv_precision=conv_precision)
+
+        ok = window_ok(offset, mask, kernel_size=kernel_size, padding=padding,
+                       deformable_groups=deformable_groups,
+                       radius=window_radius, H=H, W=W)
+        return lax.cond(ok, _windowed, _gather,
+                        (x, offset, mask, weight, bias))
     K = kernel_size * kernel_size
     G = deformable_groups
     Cg = Cin // G
@@ -89,15 +123,19 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
               corner(y0p + 1, x0p, fyp * (1 - fxp)) +
               corner(y0p + 1, x0p + 1, fyp * fxp))     # [B, HW, K, G, HW]
         xg = x.reshape(B, H * W, G, Cg)
+        # HIGHEST: this matmul IS the bilinear sampling — default precision
+        # truncates the corner weights to bf16 (0.4% sample error vs torch)
         samp = jnp.einsum("bpkgq,bqgc->bpkgc", wd, xg,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=lax.Precision.HIGHEST)
         if mask is not None:
             m = mask.reshape(B, H * W, G, K).transpose(0, 1, 3, 2)[..., None]
             samp = samp * m.astype(samp.dtype)
         samp = samp.reshape(B, H * W, K * Cin).astype(x.dtype)
         wmat = weight.reshape(K * Cin, -1).astype(x.dtype)
         out = jnp.einsum("bpk,ko->bpo", samp, wmat,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
+                         preferred_element_type=jnp.float32,
+                         precision=conv_precision).astype(x.dtype)
         if bias is not None:
             out = out + bias
         return out.reshape(B, H, W, -1)
@@ -142,12 +180,16 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
     wgrid = jnp.stack([jnp.stack([wy[0] * wx[0], wy[0] * wx[1]], axis=-1),
                        jnp.stack([wy[1] * wx[0], wy[1] * wx[1]], axis=-1)],
                       axis=-2)                     # [B, HW, K, G, 2, 2]
-    samp = jnp.einsum("bpkgij,bpkgijc->bpkgc", wgrid.astype(x.dtype), slab)
+    # HIGHEST: the 2x2 corner blend is sampling math, keep exact f32
+    samp = jnp.einsum("bpkgij,bpkgijc->bpkgc", wgrid.astype(jnp.float32),
+                      slab.astype(jnp.float32),
+                      precision=lax.Precision.HIGHEST).astype(x.dtype)
 
     samp = samp.reshape(B, H * W, K * Cin)
     wmat = weight.reshape(K * Cin, -1).astype(x.dtype)
     out = jnp.einsum("bpk,ko->bpo", samp, wmat,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+                     preferred_element_type=jnp.float32,
+                     precision=conv_precision).astype(x.dtype)
     if bias is not None:
         out = out + bias
     return out.reshape(B, H, W, -1)

@@ -55,7 +55,11 @@ def _resize_axis(x, out_size: int, axis: int, align_corners: bool):
     m = jnp.asarray(_resize_matrix(in_size, out_size, align_corners))
     if x.dtype != jnp.float32:
         m = m.astype(x.dtype)
-    y = jnp.tensordot(m, x, axes=[[1], [axis]])
+    # HIGHEST: the matrix rows ARE the lerp weights — default matmul precision
+    # is bf16-multiply on this backend, which would round every interpolation
+    # weight (the docstring's exactness claim holds only at HIGHEST)
+    y = jnp.tensordot(m, x, axes=[[1], [axis]],
+                      precision=jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(y, 0, axis)
 
 

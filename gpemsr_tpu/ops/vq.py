@@ -14,7 +14,11 @@ def nearest_code(z_flat: jax.Array, codebook: jax.Array) -> jax.Array:
     """Indices of nearest codebook rows. z_flat [N, D], codebook [V, D]."""
     z2 = jnp.sum(z_flat ** 2, axis=1, keepdims=True)
     e2 = jnp.sum(codebook ** 2, axis=1)
-    ze = jnp.dot(z_flat, codebook.T, preferred_element_type=jnp.float32)
+    # HIGHEST: default matmul precision is bf16-multiply (even on the CPU
+    # backend here) — distance noise would flip nearest-code argmin ties vs
+    # the torch f32 oracle, changing stage-2 CE targets
+    ze = jnp.dot(z_flat, codebook.T, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     d = z2 + e2[None, :] - 2.0 * ze
     return jnp.argmin(d, axis=1)
 

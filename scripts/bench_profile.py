@@ -1,0 +1,134 @@
+"""Real-device timing of the flagship x16 full-section inference path.
+
+The axon relay's dispatch/fetch overhead (~30 ms) buried the true device
+time in the round-1 bench (BENCH_r01: 8.9 MPix/s measured with per-dispatch
+timing). Here every segment is chained data-dependently N times inside one
+jit and fetched once, so the number is pure device time.
+
+Segments:
+  feats   — per-frame features (front trunk + prior bank + VGG mask + pyramid)
+  window  — window-level POD align + fusion + upsample from cached features
+  stream  — feats + window = steady-state cost per output section (streaming)
+  full    — whole 5-frame window forward (the reference's per-window cost)
+
+Usage: python scripts/bench_profile.py [--f32] [--iters=N]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from __graft_entry__ import _flagship_cfg
+from gpemsr_tpu.models.gpemsr import GPEMSR
+from gpemsr_tpu.utils.precision import bf16_inference
+
+
+def timed_chain(step, init, iters, reps=3):
+    @jax.jit
+    def chained(c0):
+        return jax.lax.fori_loop(0, iters, lambda i, c: step(c), c0)
+
+    out = chained(init)
+    _ = float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = chained(init)
+        _ = float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    use_bf16 = "--f32" not in sys.argv
+    iters = 4
+    for a in sys.argv[1:]:
+        if a.startswith("--iters="):
+            iters = int(a.split("=")[1])
+
+    cfg = _flagship_cfg()
+    model = GPEMSR(cfg)
+    h = w = 64
+    lq0 = jnp.zeros((1, 5, 16, 16, 1), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), lq0)
+
+    rng = np.random.default_rng(0)
+    lq = jnp.asarray(rng.uniform(0, 1, (1, 5, h, w, 1)).astype(np.float32))
+    frame0 = lq[0, 0]
+
+    if use_bf16:
+        feats_raw = bf16_inference(
+            lambda p, f: model.apply(p, f[None, None], features_only=True),
+            params)
+        win_raw = bf16_inference(
+            lambda p, ft, x: model.apply(p, x, frame_feats=ft)[0], params)
+        full_raw = bf16_inference(lambda p, x: model.apply(p, x)[0], params)
+        feats_fn = lambda f: feats_raw(f)            # noqa: E731
+        win_fn = lambda ft, x: win_raw(ft, x)        # noqa: E731
+        full_fn = lambda x: full_raw(x)              # noqa: E731
+    else:
+        feats_fn = lambda f: model.apply(            # noqa: E731
+            params, f[None, None], features_only=True)
+        win_fn = lambda ft, x: model.apply(          # noqa: E731
+            params, x, frame_feats=ft)[0]
+        full_fn = lambda x: model.apply(params, x)[0]  # noqa: E731
+
+    oh = timed_chain(lambda c: c + 1.0, jnp.ones((8, 128), jnp.float32),
+                     iters=iters)
+    print(f"overhead: {oh*1e3:8.2f} ms   (iters={iters}, "
+          f"{'bf16' if use_bf16 else 'f32'})")
+
+    def dep(c):  # scalar perturbation carrying a data dependency
+        return 1e-6 * c.astype(jnp.float32).mean()
+
+    # feats: frame -> frame chained via SR of a dummy? chain on frame itself
+    f1 = jax.jit(lambda f: feats_fn(f))(frame0)
+
+    def feats_step(c):
+        f = feats_fn(frame0 + dep(c))
+        return f[0]  # first pyramid level as carry
+
+    t = (timed_chain(feats_step, jnp.zeros_like(f1[0]),
+                     iters=iters) - oh) / iters
+    print(f"feats : {t*1e3:8.2f} ms/frame")
+    t_feats = t
+
+    # window: from a cached feature tuple
+    feats_tuple = tuple(None if t_ is None else jnp.concatenate([t_] * 5, axis=1)
+                        for t_ in f1)
+
+    def win_step(c):
+        ft = tuple(None if t_ is None else t_ + dep(c).astype(t_.dtype)
+                   for t_ in feats_tuple)
+        return win_fn(ft, lq)
+
+    t = (timed_chain(win_step, jnp.zeros((1, h * 16, w * 16, 1), jnp.float32),
+                     iters=iters) - oh) / iters
+    print(f"window: {t*1e3:8.2f} ms/section")
+    t_win = t
+
+    stream = t_feats + t_win
+    print(f"stream: {stream*1e3:8.2f} ms/section -> "
+          f"{(h*16)*(w*16)/1e6/stream:6.2f} MPix/s")
+
+    def full_step(c):
+        return full_fn(lq + dep(c))
+
+    t = (timed_chain(full_step, jnp.zeros((1, h * 16, w * 16, 1), jnp.float32),
+                     iters=iters) - oh) / iters
+    print(f"full  : {t*1e3:8.2f} ms/window -> {(h*16)*(w*16)/1e6/t:6.2f} MPix/s")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,6 @@
 """End-to-end mini training run through the stage-3 runner (synthetic data)."""
 
+import json
 import os
 
 import numpy as np
@@ -46,15 +47,25 @@ def test_stage2_runner_mesh_matches_single_device(tmp_path, rng):
                               logger_freq=1),
             parallel=ParallelConfig(data=n_data))
         _, state, _ = run_stage2(cfg)
-        return jax.device_get(state.params)
+        metrics = [json.loads(l) for l in
+                   (tmp_path / "runs" / f"mesh2_{tag}" / "metrics.jsonl")
+                   .read_text().splitlines()]
+        return jax.device_get(state.params), metrics
 
-    p8 = run("dp8", 8)
-    p1 = run("dp1", 1)
+    p8, m8 = run("dp8", 8)
+    p1, m1 = run("dp1", 1)
+    # identical batch math: every per-step loss must agree to f32 noise
+    assert len(m8) == len(m1) == 3
+    for a, b in zip(m8, m1):
+        assert abs(a["ce_loss"] - b["ce_loss"]) < 1e-4, (a, b)
+    # params: Adam's sign-like early updates amplify f32 psum reduction-order
+    # noise (~1e-7) to ~lr-scale differences after 3 steps, so the param check
+    # is a sanity bound, not bitwise (losses above pin the actual math)
     flat8 = jax.tree_util.tree_leaves(p8)
     flat1 = jax.tree_util.tree_leaves(p1)
     assert len(flat8) == len(flat1)
     for a, b in zip(flat8, flat1):
-        np.testing.assert_allclose(a, b, atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(a, b, atol=2e-3, rtol=0)
 
 
 @pytest.mark.slow
