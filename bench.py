@@ -1,21 +1,36 @@
 """Benchmark: GPEMSR x16 full-section SR inference throughput on one TPU chip.
 
-Workload = the reference's headline inference path (output_GPEMSR.py): a
-5-frame 64x64 LR window -> one 1024x1024 SR section. Metric is output
-megapixels per second, single chip, steady state.
+Workload: the production z-stack streaming path (output_sr.py ->
+infer/sr.py::sr_stack_streaming): per new section, compute the per-frame
+feature pyramid ONCE for the incoming slice and run the window-level
+alignment/fusion/upsampling that produces one 1024x1024 SR section
+(windows share 4 of 5 frames; outputs are bit-identical to the per-window
+path — tests/test_infer.py::test_streaming_sr_matches_per_window).
 
-vs_baseline compares against an A100 estimate for the reference PyTorch
-implementation: the repo publishes no numbers (BASELINE.md), so we use a
-conservative 2.0 MPix/s figure for an EDVR-class multi-frame network with
-4 DCN stages + VQGAN prior decode + VGG masking at 1024^2 on A100
-(~0.5 s/section). Replace with a measured figure when available.
+Timing method: this environment reaches the chip through a relay whose
+dispatch/fetch overhead is ~30 ms and whose block_until_ready does not wait
+for remote execution, so per-dispatch timing (as in round 1) measures the
+relay, not the chip. Here the steady-state step (feats + window assembly +
+window forward) is chained data-dependently ITERS times inside ONE jit and
+fetched once; the measured empty-chain overhead is subtracted. The result is
+pure device time per section — what a production driver (which batches
+dispatches) would see.
+
+vs_baseline: the repo publishes no numbers (BASELINE.md), so the baseline is
+an ESTIMATE of the reference PyTorch pipeline on A100: an EDVR-class
+multi-frame net with 4 DCN stages + VQGAN prior decode + VGG masking at
+1024^2 output, ~0.5 s/section => 2.0 MPix/s. Treat the absolute ratio as
+indicative; the measured MPix/s is the hard number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Flags: --f32 (disable bf16), --per-window (reference-style full forward per
+section), --batch=N (sections processed concurrently), --iters=N.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 A100_BASELINE_MPIX_S = 2.0
@@ -23,12 +38,9 @@ A100_BASELINE_MPIX_S = 2.0
 
 def main():
     import os
-    import sys
 
     import jax
 
-    # persistent compilation cache: the full-model compile takes ~10 min over
-    # this environment's remote-compile tunnel; cache hits make re-runs fast
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -40,81 +52,81 @@ def main():
     from gpemsr_tpu.utils.precision import bf16_inference
 
     use_bf16 = "--f32" not in sys.argv
+    streaming = "--per-window" not in sys.argv
     batch = 1
+    iters = 6
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
+        if a.startswith("--iters="):
+            iters = int(a.split("=")[1])
 
     cfg = _flagship_cfg()
     model = GPEMSR(cfg)
-
     h = w = 64                     # full-section LR size (1024 / 16)
     lq0 = jnp.zeros((1, 5, 16, 16, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), lq0)
 
-    streaming = "--per-window" not in sys.argv
-
     rng = np.random.default_rng(0)
     lq = jnp.asarray(rng.uniform(0, 1, (batch, 5, h, w, 1)).astype(np.float32))
 
-    if streaming:
-        # steady-state cost per output section while sliding along the
-        # z-stack: per-frame features computed once per NEW slice + one
-        # window-level fusion (windows share 4 of 5 frames; outputs are
-        # bit-identical to the per-window path — see
-        # tests/test_infer.py::test_streaming_sr_matches_per_window)
-        if use_bf16:
-            feats_fn = jax.jit(bf16_inference(
-                lambda p, f: model.apply(p, f[None, None],
-                                         features_only=True), params))
-            win_fn = jax.jit(bf16_inference(
-                lambda p, ft, x: model.apply(p, x, frame_feats=ft)[0], params))
-        else:
-            feats_fn = jax.jit(lambda f: model.apply(
-                params, f[None, None], features_only=True))
-            win_fn = jax.jit(lambda ft, x: model.apply(
-                params, x, frame_feats=ft)[0])
-
-        frame = lq[0, 0]
-        f1 = feats_fn(frame)
-        feats = tuple(jnp.concatenate([t] * 5, axis=1) for t in f1)
-        win_fn(feats, lq[:1]).block_until_ready()
-
-        def fwd_once():
-            f = feats_fn(frame)
-            return win_fn(feats, lq[:1])
-
-        fwd_once().block_until_ready()
-        iters = 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwd_once()
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
-        mpix = (h * 16) * (w * 16) / 1e6
+    if use_bf16:
+        feats_fn = bf16_inference(
+            lambda p, f: model.apply(p, f[:, None], features_only=True),
+            params)
+        win_fn = bf16_inference(
+            lambda p, ft, x: model.apply(p, x, frame_feats=ft)[0], params)
+        full_fn = bf16_inference(lambda p, x: model.apply(p, x)[0], params)
     else:
-        if use_bf16:
-            inner = bf16_inference(lambda p, x: model.apply(p, x)[0], params)
-            fwd = jax.jit(inner)
-        else:
-            @jax.jit
-            def fwd(lq):
-                sr, _ = model.apply(params, lq)
-                return sr
+        feats_fn = lambda f: model.apply(          # noqa: E731
+            params, f[:, None], features_only=True)
+        win_fn = lambda ft, x: model.apply(        # noqa: E731
+            params, x, frame_feats=ft)[0]
+        full_fn = lambda x: model.apply(params, x)[0]   # noqa: E731
 
-        # warmup / compile
-        fwd(lq).block_until_ready()
-        fwd(lq).block_until_ready()
+    def timed_chain(step, init, reps=3):
+        @jax.jit
+        def chained(c0):
+            return jax.lax.fori_loop(0, iters, lambda i, c: step(c), c0)
 
-        iters = 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fwd(lq)
-        out.block_until_ready()
-        dt = time.perf_counter() - t0
+        out = chained(init)
+        _ = float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
+        ts = []
+        for _r in range(reps):
+            t0 = time.perf_counter()
+            out = chained(init)
+            _ = float(jax.tree_util.tree_leaves(out)[0]
+                      .astype(jnp.float32).sum())
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-        mpix = batch * (h * 16) * (w * 16) / 1e6
-    value = mpix * iters / dt
+    overhead = timed_chain(lambda c: c + 1.0, jnp.ones((8, 128), jnp.float32))
+
+    frames = lq[:, 0]              # [batch, h, w, 1] — the incoming slices
+
+    def dep(c):
+        return 1e-6 * c.astype(jnp.float32).mean()
+
+    if streaming:
+        # steady state of sr_stack_streaming: new-slice features + window
+        # assembly (concat across the shared window) + window-level forward
+        def step(c):
+            f = feats_fn(frames + dep(c).astype(frames.dtype))
+            feats = tuple(None if t is None else
+                          jnp.concatenate([t] * 5, axis=1) for t in f)
+            return win_fn(feats, lq)
+
+        init = jnp.zeros((batch, h * 16, w * 16, 1), jnp.float32)
+        t = (timed_chain(step, init) - overhead) / iters
+    else:
+        def step(c):
+            return full_fn(lq + dep(c).astype(lq.dtype))
+
+        init = jnp.zeros((batch, h * 16, w * 16, 1), jnp.float32)
+        t = (timed_chain(step, init) - overhead) / iters
+
+    mpix = batch * (h * 16) * (w * 16) / 1e6
+    value = mpix / t
     print(json.dumps({
         "metric": "sr_x16_inference_throughput",
         "value": round(value, 3),

@@ -176,6 +176,11 @@ class TrainConfig:
     r1_reg_weight: float = 1e-4
     net_d_reg_every: int = 16
     generator_update_rate: int = 1
+    # dead-code revival (beyond the reference, off by default for parity):
+    # every N generator steps, codebook rows unused over the window are
+    # re-seeded from current-batch encoder outputs. Counters VQ collapse on
+    # short schedules / low-diversity data.
+    codebook_revive_every: int = 0
     # stage-3 (train_stage3_x16.yml:103-106); CX options mirror the
     # ContextualLoss constructor surface (model/contextual.py:191-196)
     ref_loss_factor: float = 0.01
@@ -193,8 +198,12 @@ class ParallelConfig:
     shard_map-tiled full-section inference."""
     data: int = -1       # -1: all devices on the data axis
     spatial: int = 1
-    dtype: str = "float32"       # param dtype
-    compute_dtype: str = "bfloat16"
+    dtype: str = "float32"       # param (master-weight) dtype
+    # forward/backward compute dtype for the jitted train steps. "bfloat16"
+    # casts params+batch at the top of every loss_fn (f32 master weights and
+    # optimizer state are untouched; losses/reductions stay f32). Inference
+    # has its own opt-in wrapper (utils/precision.bf16_inference).
+    compute_dtype: str = "float32"
 
 
 @dataclass

@@ -68,10 +68,23 @@ class UpsampleBlock(nn.Module):
 
 
 class UNetSuperhuman(nn.Module):
-    """in NDHWC [B, 18, 160, 160, 1] -> sigmoid affinities [B, 18, 160, 160, 3]."""
+    """in NDHWC [B, 18, 160, 160, 1] -> sigmoid affinities [B, 18, 160, 160, 3].
+
+    The reference's unused variants (model_superhuman.py:173,335,495) are
+    options rather than clones:
+      * embedding_head > 0: the output head maps to an `emd`-dim embedding
+        without sigmoid (UNet_PNI_embedding; `emd=16`).
+      * deep_supervision: additionally return coarse heads on the center and
+        the three intermediate decoder features (UNet_PNI_embedding_deep's
+        (out1..out4, out) tuple, at 1/16..1/2 spatial resolution).
+      * return_embedding: also return the pre-head `embed_out` feature
+        (UNet_PNI_mask's (embed_out, out))."""
     filters: Sequence[int] = (28, 36, 48, 64, 80)
     out_planes: int = 3
     if_sigmoid: bool = True
+    embedding_head: int = 0
+    deep_supervision: bool = False
+    return_embedding: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -89,6 +102,7 @@ class UNetSuperhuman(nn.Module):
             h = nn.max_pool(h, (1, 2, 2), strides=(1, 2, 2))
 
         h = ResBlockPNI(f2[5], name="center")(h, train)
+        deep_feats = [h]
 
         for i in range(4):
             lvl = 3 - i
@@ -96,12 +110,22 @@ class UNetSuperhuman(nn.Module):
             h = h + skips[lvl]                      # add-merge
             h = BNELU(name=f"merge_bn{i}")(h, train)
             h = ResBlockPNI(f2[lvl + 1], name=f"dec{i}")(h, train)
+            if i < 3:
+                deep_feats.append(h)
 
         h = Conv3D(f2[0], (1, 5, 5), padding=((0, 0), (2, 2), (2, 2)),
                    name="embed_out")(h)
-        h = jax.nn.elu(h)
-        out = Conv3D(self.out_planes, (1, 1, 1), padding=((0, 0),) * 3,
-                     name="out")(h)
-        if self.if_sigmoid:
+        embed_out = jax.nn.elu(h)
+        n_out = self.embedding_head or self.out_planes
+        out = Conv3D(n_out, (1, 1, 1), padding=((0, 0),) * 3,
+                     name="out")(embed_out)
+        if self.if_sigmoid and not self.embedding_head:
             out = jax.nn.sigmoid(out)
+        if self.deep_supervision:
+            deep = [Conv3D(n_out, (1, 1, 1), padding=((0, 0),) * 3,
+                           name=f"deep_out{i}")(d)
+                    for i, d in enumerate(deep_feats)]
+            return (*deep, out)
+        if self.return_embedding:
+            return embed_out, out
         return out

@@ -138,3 +138,46 @@ class ViT3D(nn.Module):
             tokens = TransformerBlock(self.embed_dim, self.heads,
                                       name=f"block{i}")(tokens)
         return nn.LayerNorm(name="ln")(tokens)
+
+
+class MonaiViT(nn.Module):
+    """The reference's third ViT wrapper (inference_code/model/monai_vit.py —
+    a vendored MONAI ViT): patch embed + transformer stack, returning
+    (output, all per-layer hidden states). With classification=True a cls
+    token is prepended and the head is Linear(num_classes) with optional
+    Tanh post-activation (monai_vit.py:103-109,117-120)."""
+    embed_dim: int = 768
+    depth: int = 12
+    heads: int = 12
+    mlp_ratio: int = 4
+    patch: tuple[int, int, int] = (4, 16, 16)
+    classification: bool = False
+    num_classes: int = 2
+    post_activation: str = "Tanh"
+
+    @nn.compact
+    def __call__(self, x):
+        B = x.shape[0]
+        emb = nn.Conv(self.embed_dim, self.patch, strides=self.patch,
+                      name="patch_embed")(x)
+        n = emb.shape[1] * emb.shape[2] * emb.shape[3]
+        tokens = emb.reshape(B, n, self.embed_dim)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, n, self.embed_dim))
+        tokens = tokens + pos
+        if self.classification:
+            cls = self.param("cls_token", nn.initializers.zeros,
+                             (1, 1, self.embed_dim))
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls, (B, 1, self.embed_dim)), tokens], 1)
+        hidden_states = []
+        for i in range(self.depth):
+            tokens = TransformerBlock(self.embed_dim, self.heads,
+                                      self.mlp_ratio, name=f"block{i}")(tokens)
+            hidden_states.append(tokens)
+        out = nn.LayerNorm(name="ln")(tokens)
+        if self.classification:
+            out = nn.Dense(self.num_classes, name="head")(out[:, 0])
+            if self.post_activation == "Tanh":
+                out = jnp.tanh(out)
+        return out, hidden_states

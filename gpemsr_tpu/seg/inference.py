@@ -54,7 +54,8 @@ class SegScores:
 
 def evaluate_segmentation(apply_fn, raw_volume: np.ndarray,
                           gt_labels: np.ndarray, cfg: SegConfig,
-                          out_dir: str | None = None) -> SegScores:
+                          out_dir: str | None = None,
+                          show: bool = False) -> SegScores:
     """Full protocol on a raw uint8-scale volume [Z, Y, X] (values 0..255).
 
     apply_fn: jitted seg model on a single crop (see tiled3d.tiled_infer)."""
@@ -96,4 +97,37 @@ def evaluate_segmentation(apply_fn, raw_volume: np.ndarray,
         with open(os.path.join(out_dir, "scores.txt"), "w") as f:
             f.write("Inference time=%.6f\n" % infer_time)
             f.write(scores.line() + "\n")
+        if show:
+            _write_galleries(out_dir, raw_volume, output_affs, labels,
+                             segmentation, gt)
     return scores
+
+
+def _write_galleries(out_dir: str, raw_volume: np.ndarray,
+                     output_affs: np.ndarray, labels: np.ndarray,
+                     segmentation: np.ndarray, gt: np.ndarray) -> None:
+    """Result PNG galleries (reference inference_seg.py:174-191): per-slice
+    predicted-vs-GT affinity panels and raw | seg | gt color renders, with
+    the prediction masked to the GT foreground like the reference."""
+    from PIL import Image
+
+    from gpemsr_tpu.seg.visual import (
+        affinity_gallery, draw_fragments_3d, draw_raw_image,
+    )
+
+    affs_dir = os.path.join(out_dir, "affs_img")
+    seg_dir = os.path.join(out_dir, "seg_img")
+    os.makedirs(affs_dir, exist_ok=True)
+    os.makedirs(seg_dir, exist_ok=True)
+    gt_affs = seg_to_aff(labels).astype(np.float32)
+    for z, img in affinity_gallery(output_affs, gt_affs):
+        Image.fromarray(img).save(os.path.join(affs_dir, f"{z:04d}.png"))
+    seg_show = segmentation.copy()
+    seg_show[gt == 0] = 0                       # inference_seg.py:184
+    color_raw = draw_raw_image(raw_volume)
+    color_seg = draw_fragments_3d(seg_show)
+    color_gt = draw_fragments_3d(gt.astype(np.uint64))
+    for z in range(color_seg.shape[0]):
+        panel = np.concatenate(
+            [color_raw[z], color_seg[z], color_gt[z]], axis=1)
+        Image.fromarray(panel).save(os.path.join(seg_dir, f"{z:04d}.png"))

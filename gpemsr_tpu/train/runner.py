@@ -132,8 +132,11 @@ def run_stage1(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1):
 
     gs = ds_cfg.GT_size
     sample = jnp.zeros((ds_cfg.batch_size, gs, gs, 1), jnp.float32)
+    from gpemsr_tpu.utils.precision import resolve_dtype
     trainer = Stage1Trainer(prior_cfg, cfg.discriminator, cfg.train,
-                            jax.random.PRNGKey(cfg.train.manual_seed), sample)
+                            jax.random.PRNGKey(cfg.train.manual_seed), sample,
+                            compute_dtype=resolve_dtype(
+                                cfg.parallel.compute_dtype))
     # production path is SPMD over the mesh: params replicated, batches
     # sharded on the data axis (the DDP wrap of train_stage1.py:131-134)
     trainer.g_state = replicate(trainer.g_state, mesh)
@@ -152,18 +155,30 @@ def run_stage1(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1):
             return {}
         from gpemsr_tpu.utils.image import save_img
         vis_dir = os.path.join(runner.exp_dir, "val", str(step))
+        # device-parallel validation: batches sharded over the mesh's data
+        # axis (the reference stripes the val set across ranks and
+        # dist.reduces PSNR, train_stage1.py:212-228 — here the mesh IS the
+        # rank set, so a sharded batch is the same striping)
+        n_data = mesh.shape["data"]
         psnrs = []
-        for i in range(len(val_set)):
-            img = val_set[i][None]
-            dec = np.asarray(gen_fwd(trainer.g_state.params, jnp.asarray(img)))
-            psnrs.append(psnr_of(dec[0], img[0]))
-            if i < 20:   # qualitative dumps (train_stage1.py:219-224)
-                os.makedirs(os.path.join(vis_dir, "fake"), exist_ok=True)
-                os.makedirs(os.path.join(vis_dir, "original"), exist_ok=True)
-                save_img(tensor2img(dec[0]),
-                         os.path.join(vis_dir, "fake", f"{i}.png"))
-                save_img(tensor2img(img[0]),
-                         os.path.join(vis_dir, "original", f"{i}.png"))
+        for start in range(0, len(val_set), n_data):
+            idxs = list(range(start, min(start + n_data, len(val_set))))
+            imgs = np.stack([val_set[i] for i in idxs])
+            pad = n_data - len(idxs)
+            if pad:
+                imgs = np.concatenate([imgs, imgs[-1:].repeat(pad, 0)])
+            dec = np.asarray(gen_fwd(trainer.g_state.params,
+                                     host_shard_batch(jnp.asarray(imgs), mesh)))
+            for j, i in enumerate(idxs):
+                psnrs.append(psnr_of(dec[j], imgs[j]))
+                if i < 20:   # qualitative dumps (train_stage1.py:219-224)
+                    os.makedirs(os.path.join(vis_dir, "fake"), exist_ok=True)
+                    os.makedirs(os.path.join(vis_dir, "original"),
+                                exist_ok=True)
+                    save_img(tensor2img(dec[j]),
+                             os.path.join(vis_dir, "fake", f"{i}.png"))
+                    save_img(tensor2img(imgs[j]),
+                             os.path.join(vis_dir, "original", f"{i}.png"))
         return {"psnr_avg": float(np.mean(psnrs))}
 
     def train_step(step, batch):
@@ -203,7 +218,9 @@ def run_stage2(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
     model, state, frozen = init_stage2(
         jax.random.PRNGKey(cfg.train.manual_seed), cfg.network.prior,
         cfg.train, lr0, gt0, pretrained_params=stage1_params)
-    step_fn = make_stage2_step(model)
+    from gpemsr_tpu.utils.precision import resolve_dtype
+    step_fn = make_stage2_step(
+        model, compute_dtype=resolve_dtype(cfg.parallel.compute_dtype))
 
     val_set = IndexerDataset(cfg.datasets["val"], cfg.scale, train=False) \
         if "val" in cfg.datasets else None
@@ -271,7 +288,10 @@ def run_stage3(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
     model, state, frozen = init_stage3(
         jax.random.PRNGKey(cfg.train.manual_seed), cfg.network, cfg.train,
         lq0, pretrained=pretrained)
-    step_fn = make_stage3_step(model, cfg.train)
+    from gpemsr_tpu.utils.precision import resolve_dtype
+    step_fn = make_stage3_step(
+        model, cfg.train,
+        compute_dtype=resolve_dtype(cfg.parallel.compute_dtype))
 
     val_set = CREMIDataset(cfg.datasets["val"], cfg.scale, train=False) \
         if "val" in cfg.datasets else None

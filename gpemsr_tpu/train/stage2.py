@@ -34,10 +34,18 @@ def init_stage2(rng, cfg: PriorConfig, tcfg: TrainConfig, sample_lr, sample_gt,
     return model, state, frozen
 
 
-def make_stage2_step(model: LRGenerator):
+def make_stage2_step(model: LRGenerator, compute_dtype=jnp.float32):
+    low_precision = compute_dtype != jnp.float32
+
     def loss_fn(trainable, frozen, lr_imgs, gt_imgs):
+        from gpemsr_tpu.utils.precision import cast_floats
         params = merge_params(trainable, frozen)
+        if low_precision:
+            params = cast_floats(params, compute_dtype)
+            lr_imgs = lr_imgs.astype(compute_dtype)
+            gt_imgs = gt_imgs.astype(compute_dtype)
         logits, gt_idx = model.apply({"params": params}, lr_imgs, gt_imgs)
+        logits = logits.astype(jnp.float32)   # CE softmax in f32
         gt_idx = jax.lax.stop_gradient(gt_idx)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, gt_idx)
         acc = jnp.mean(jnp.argmax(logits, axis=-1) == gt_idx)

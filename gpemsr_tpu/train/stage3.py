@@ -45,8 +45,15 @@ def init_stage3(rng, cfg: GPEMSRConfig, tcfg: TrainConfig, sample_lq,
     return model, state, frozen
 
 
-def make_stage3_step(model: GPEMSR, tcfg: TrainConfig):
+def make_stage3_step(model: GPEMSR, tcfg: TrainConfig,
+                     compute_dtype=jnp.float32):
+    """compute_dtype=bfloat16 casts params+batch at the top of loss_fn (f32
+    master weights; losses and the Adam update stay f32 — grads flow back
+    through the cast). CX matmuls already accumulate f32 via
+    preferred_element_type, so bf16 features keep today's default-precision
+    numerics on TPU."""
     vgg34 = VGG19Features(max_layer="relu3_4")
+    low_precision = compute_dtype != jnp.float32
     if tcfg.cx_is_cobi:
         def cx_fn(a, b):
             return contextual_bilateral_loss(
@@ -60,14 +67,16 @@ def make_stage3_step(model: GPEMSR, tcfg: TrainConfig):
     def ref_ctx_loss(vgg_params, sr, ref_imgs):
         """Contextual loss of SR against each prior frame, scanned over N."""
         sr3 = jnp.broadcast_to(sr, sr.shape[:-1] + (3,))
+        # normalize_for_vgg's f32 constants promote — cast back so a bf16
+        # compute dtype stays bf16 through the VGG stack
         sr_feat = vgg34.apply({"params": vgg_params},
-                              normalize_for_vgg(sr3))["relu3_4"]
+                              normalize_for_vgg(sr3).astype(sr.dtype))["relu3_4"]
         sr_feat = sr_feat.transpose(0, 3, 1, 2)     # NCHW for the CX op
 
         def body(carry, ref_i):
             r3 = jnp.broadcast_to(ref_i, ref_i.shape[:-1] + (3,))
             rf = vgg34.apply({"params": vgg_params},
-                             normalize_for_vgg(r3))["relu3_4"]
+                             normalize_for_vgg(r3).astype(sr.dtype))["relu3_4"]
             cx = cx_fn(sr_feat, rf.transpose(0, 3, 1, 2))
             return carry + cx, None
 
@@ -78,15 +87,22 @@ def make_stage3_step(model: GPEMSR, tcfg: TrainConfig):
         return total / n
 
     def loss_fn(trainable, frozen, lq, gt):
+        from gpemsr_tpu.utils.precision import cast_floats
         model_frozen = {k: v for k, v in frozen.items() if k != "cx_vgg"}
         params = merge_params(trainable, model_frozen)
+        cx_vgg = frozen.get("cx_vgg")
+        if low_precision:
+            params = cast_floats(params, compute_dtype)
+            cx_vgg = cast_floats(cx_vgg, compute_dtype)
+            lq = lq.astype(compute_dtype)
         sr, ref_imgs = model.apply({"params": params}, lq)
-        rec = jnp.mean(jnp.abs(gt - sr))
+        rec = jnp.mean(jnp.abs(gt - sr.astype(jnp.float32)))
         loss = tcfg.rec_loss_factor * rec
         metrics = {"rec_loss": rec}
         if tcfg.ref_loss_factor and ref_imgs is not None:
-            ctx = ref_ctx_loss(frozen["cx_vgg"], sr,
+            ctx = ref_ctx_loss(cx_vgg, sr,
                                jax.lax.stop_gradient(ref_imgs))
+            ctx = ctx.astype(jnp.float32)
             loss = loss + tcfg.ref_loss_factor * ctx
             metrics["ref_loss"] = ctx
         return loss, metrics

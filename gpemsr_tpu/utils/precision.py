@@ -11,6 +11,15 @@ import jax
 import jax.numpy as jnp
 
 
+def resolve_dtype(name: str):
+    """Config string -> jnp dtype (ParallelConfig.dtype / compute_dtype)."""
+    table = {"float32": jnp.float32, "f32": jnp.float32,
+             "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+    if name not in table:
+        raise ValueError(f"unknown dtype {name!r}; one of {sorted(table)}")
+    return table[name]
+
+
 def cast_floats(tree, dtype):
     def cast(x):
         if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):

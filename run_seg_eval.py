@@ -32,6 +32,9 @@ def main():
                    help="pickled flax params (e.g. converted from torch .pt)")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("-ts", "--test-split", type=int, default=None)
+    p.add_argument("--show", action="store_true",
+                   help="write affinity / segmentation PNG galleries "
+                        "(reference inference_seg.py --show)")
     args = p.parse_args()
     cfg = load_yaml(args.cfg, SegConfig)
     if args.test_split:
@@ -73,7 +76,8 @@ def main():
                                       cfg.data.label_file),
                          cfg.data.test_split)
     out_dir = args.out or os.path.join("Result", cfg.model.model_type)
-    scores = evaluate_segmentation(apply_fn, raw, labels, cfg, out_dir)
+    scores = evaluate_segmentation(apply_fn, raw, labels, cfg, out_dir,
+                                   show=args.show)
     print(scores.line())
 
 

@@ -2,7 +2,10 @@
 reference's training shapes (GT 256^2, LQ 16^2, N=5) on the current
 accelerator.
 
-    python scripts/bench_train.py [batch]"""
+    python scripts/bench_train.py [batch] [--bf16]
+
+--bf16: bf16 compute (f32 master weights), the ParallelConfig.compute_dtype
+path — compare against the f32 default."""
 
 from __future__ import annotations
 
@@ -23,7 +26,9 @@ def main():
     from gpemsr_tpu.core.config import TrainConfig
     from gpemsr_tpu.train.stage3 import init_stage3, make_stage3_step
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    batch = int(args[0]) if args else 2
+    compute_dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
     cfg = _flagship_cfg()
     tcfg = TrainConfig(ref_loss_factor=0.01)
 
@@ -34,7 +39,7 @@ def main():
     t0 = time.perf_counter()
     model, state, frozen = init_stage3(jax.random.PRNGKey(0), cfg, tcfg, lq)
     print(f"init {time.perf_counter() - t0:.1f}s", flush=True)
-    step = make_stage3_step(model, tcfg)
+    step = make_stage3_step(model, tcfg, compute_dtype=compute_dtype)
 
     t0 = time.perf_counter()
     state, m = step(state, frozen, lq, gt)

@@ -165,3 +165,31 @@ def test_instance_boundary_and_distance_targets(rng):
     assert (dt[:, :, 5:7] == 0).all()               # background zero
     w = skeleton_aware_weight(dt)
     assert w.shape == dt.shape and (w >= 1).all()
+
+
+def test_result_galleries(tmp_path, rng):
+    """The CLI's --show galleries (reference inference_seg.py:174-191):
+    per-slice affinity panels (pred over gt, channels side by side) and
+    raw|seg|gt color renders."""
+    import os
+
+    from PIL import Image
+
+    from gpemsr_tpu.seg.inference import _write_galleries
+
+    Z, S = 3, 24
+    raw = rng.integers(0, 255, (Z, S, S)).astype(np.float32)
+    affs = rng.uniform(0, 1, (3, Z, S, S)).astype(np.float32)
+    labels = rng.integers(0, 4, (Z, S, S)).astype(np.uint32)
+    seg = rng.integers(0, 4, (Z, S, S)).astype(np.uint64)
+    _write_galleries(str(tmp_path), raw, affs, labels, seg, labels)
+    affs_pngs = sorted(os.listdir(tmp_path / "affs_img"))
+    seg_pngs = sorted(os.listdir(tmp_path / "seg_img"))
+    assert len(affs_pngs) == Z and len(seg_pngs) == Z
+    a = np.asarray(Image.open(tmp_path / "affs_img" / affs_pngs[0]))
+    assert a.shape == (2 * S, 3 * S)           # pred row over gt row
+    s = np.asarray(Image.open(tmp_path / "seg_img" / seg_pngs[0]))
+    assert s.shape == (S, 3 * S, 3)            # raw | seg | gt
+    # prediction masked to gt foreground: background pixels stay black
+    bg = labels[0] == 0
+    assert (s[:, S:2 * S][bg] == 0).all()

@@ -118,3 +118,50 @@ def test_shift_func_layout():
     s = shift_func(12)
     assert len(s) == 12
     assert s[:3] == [[-1, 0, 0], [0, -1, 0], [0, 0, -1]]
+
+
+def test_monai_vit_shapes(rng):
+    """MonaiViT (reference monai_vit.py): (out, hidden_states) in segmentation
+    mode; cls-token + Tanh head in classification mode."""
+    from gpemsr_tpu.models.seg.unetr import MonaiViT
+    x = jnp.asarray(rng.uniform(0, 1, (1, 4, 16, 16, 1)).astype(np.float32))
+    m = MonaiViT(embed_dim=32, depth=3, heads=4, patch=(2, 8, 8))
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    out, hidden = m.apply(params, x)
+    assert out.shape == (1, 8, 32) and len(hidden) == 3
+    assert all(h.shape == (1, 8, 32) for h in hidden)
+
+    mc = MonaiViT(embed_dim=32, depth=2, heads=4, patch=(2, 8, 8),
+                  classification=True, num_classes=5)
+    params = jax.jit(mc.init)(jax.random.PRNGKey(0), x)
+    out, hidden = mc.apply(params, x)
+    assert out.shape == (1, 5)
+    assert float(jnp.max(jnp.abs(out))) <= 1.0      # Tanh post-activation
+    assert hidden[0].shape == (1, 9, 32)            # cls token prepended
+
+
+def test_superhuman_variants(rng):
+    """The reference's UNet_PNI_{embedding,embedding_deep,mask} surfaces as
+    options (model_superhuman.py:173,335,495)."""
+    from gpemsr_tpu.models.seg.superhuman import UNetSuperhuman
+    x = jnp.asarray(rng.uniform(0, 1, (1, 4, 32, 32, 1)).astype(np.float32))
+
+    emb = UNetSuperhuman(filters=(4, 6, 8, 10, 12), embedding_head=16)
+    p = jax.jit(emb.init)(jax.random.PRNGKey(0), x)
+    out = emb.apply(p, x)
+    assert out.shape == (1, 4, 32, 32, 16)
+    assert float(jnp.min(out)) < 0           # no sigmoid on the embedding
+
+    deep = UNetSuperhuman(filters=(4, 6, 8, 10, 12), embedding_head=16,
+                          deep_supervision=True)
+    p = jax.jit(deep.init)(jax.random.PRNGKey(0), x)
+    outs = deep.apply(p, x)
+    assert len(outs) == 5                      # (out1..out4, out)
+    assert outs[0].shape == (1, 4, 2, 2, 16)   # center: 1/16 spatial
+    assert outs[-1].shape == (1, 4, 32, 32, 16)
+
+    mask = UNetSuperhuman(filters=(4, 6, 8, 10, 12), return_embedding=True)
+    p = jax.jit(mask.init)(jax.random.PRNGKey(0), x)
+    embed_out, out = mask.apply(p, x)
+    assert embed_out.shape == (1, 4, 32, 32, 4) and out.shape == (1, 4, 32, 32, 3)
+    assert float(jnp.min(out)) >= 0 and float(jnp.max(out)) <= 1

@@ -168,3 +168,101 @@ def test_training_determinism(rng):
     jax.tree_util.tree_map(
         lambda x, y: np.testing.assert_array_equal(np.asarray(x), np.asarray(y)),
         a, b)
+
+
+def test_bf16_compute_training(rng):
+    """ParallelConfig.compute_dtype="bfloat16": stage-3 step in bf16 compute
+    with f32 master weights — losses track the f32 step, params/opt state stay
+    f32, and the update is finite. (VERDICT #10: bf16-compute training.)"""
+    from gpemsr_tpu.core.config import GPEMSRConfig
+    from gpemsr_tpu.train.stage3 import init_stage3, make_stage3_step
+
+    tcfg = TrainConfig(lr_G=1e-4, T_period=[100], restarts=[],
+                       restart_weights=[], ref_loss_factor=0.01)
+    net = GPEMSRConfig(nf=16, groups=4, front_RBs=1, back_RBs=1,
+                       ref_fusion_feat_RBs=1, scale=16, prior=tiny_prior(16))
+    lq = jnp.asarray(rng.uniform(0, 1, (1, 5, 8, 8, 1)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(0, 1, (1, 128, 128, 1)).astype(np.float32))
+    model, state, frozen = init_stage3(jax.random.PRNGKey(0), net, tcfg, lq)
+
+    step32 = make_stage3_step(model, tcfg)
+    step16 = make_stage3_step(model, tcfg, compute_dtype=jnp.bfloat16)
+    s32, m32 = step32(state, frozen, lq, gt)
+    s16, m16 = step16(state, frozen, lq, gt)
+    # bf16 mantissa is 8 bits: losses agree to ~1% of scale
+    assert abs(float(m16["rec_loss"]) - float(m32["rec_loss"])) < 0.01
+    assert abs(float(m16["ref_loss"]) - float(m32["ref_loss"])) \
+        < 0.05 * abs(float(m32["ref_loss"])) + 1e-3
+    # master weights stay f32 and move
+    leaves16 = jax.tree_util.tree_leaves(s16.params)
+    assert all(x.dtype == jnp.float32 for x in leaves16)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves16)
+    diff = max(float(jnp.max(jnp.abs(a - b))) for a, b in zip(
+        jax.tree_util.tree_leaves(s16.params),
+        jax.tree_util.tree_leaves(state.params)))
+    assert diff > 0                 # the bf16 grads actually updated params
+
+
+def test_bf16_compute_stage1_stage2(rng):
+    """Stage-1 GAN alternation and stage-2 CE run under bf16 compute."""
+    from gpemsr_tpu.train.stage1 import Stage1Trainer
+    from gpemsr_tpu.train.stage2 import init_stage2, make_stage2_step
+
+    tcfg = TrainConfig(T_period=[10], restarts=[], restart_weights=[],
+                       gan_start=1, net_d_reg_every=2)
+    sample = jnp.zeros((2, 96, 96, 1), jnp.float32)
+    trainer = Stage1Trainer(tiny_prior(), DiscriminatorConfig(num_filters_last=8),
+                            tcfg, jax.random.PRNGKey(0), sample,
+                            compute_dtype=jnp.bfloat16)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 96, 96, 1)).astype(np.float32))
+    m1 = trainer.train_step(imgs)
+    m2 = trainer.train_step(imgs)            # GAN + R1 phase
+    assert np.isfinite(m1["rec_loss"]) and "r1" in m2
+    assert np.isfinite(m2["r1"])
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree_util.tree_leaves(trainer.g_state.params))
+
+    tcfg2 = TrainConfig(lr_G=1e-3, T_period=[100], restarts=[],
+                        restart_weights=[])
+    lr_img = jnp.asarray(rng.uniform(0, 1, (2, 8, 8, 1)).astype(np.float32))
+    gt_img = jnp.asarray(rng.uniform(0, 1, (2, 128, 128, 1)).astype(np.float32))
+    model, state, frozen = init_stage2(jax.random.PRNGKey(0), tiny_prior(),
+                                       tcfg2, lr_img, gt_img)
+    step = make_stage2_step(model, compute_dtype=jnp.bfloat16)
+    state, m0 = step(state, frozen, lr_img, gt_img)
+    for _ in range(3):
+        state, m = step(state, frozen, lr_img, gt_img)
+    assert m["ce_loss"] < m0["ce_loss"]
+
+
+def test_codebook_dead_code_revival(rng):
+    """codebook_revive_every: codes unused over the window are re-seeded from
+    encoder outputs; used codes keep their embeddings; off by default."""
+    from gpemsr_tpu.train.stage1 import Stage1Trainer
+
+    tcfg = TrainConfig(T_period=[10], restarts=[], restart_weights=[],
+                       gan_start=10 ** 9, codebook_revive_every=2)
+    sample = jnp.zeros((2, 96, 96, 1), jnp.float32)
+    trainer = Stage1Trainer(tiny_prior(), DiscriminatorConfig(num_filters_last=8),
+                            tcfg, jax.random.PRNGKey(0), sample)
+    imgs = jnp.asarray(rng.uniform(0, 1, (2, 96, 96, 1)).astype(np.float32))
+    emb0 = np.asarray(trainer.g_state.params["codebook"]["embedding"])
+    m1 = trainer.train_step(imgs)
+    assert "revived_codes" not in m1            # window not complete yet
+    m2 = trainer.train_step(imgs)
+    assert "revived_codes" in m2 and m2["revived_codes"] > 0
+    emb = np.asarray(trainer.g_state.params["codebook"]["embedding"])
+    # revived rows look like encoder outputs (order-1 magnitudes), far from
+    # the uniform(-1/V, 1/V) init; at least one row moved by much more than
+    # two Adam steps (2 * lr_G) could explain
+    moved = np.abs(emb - emb0).max(axis=1)
+    assert (moved > 10 * tcfg.lr_G).sum() >= m2["revived_codes"] * 0.5
+    # revival off: no usage bookkeeping, no key in metrics
+    tcfg_off = TrainConfig(T_period=[10], restarts=[], restart_weights=[],
+                           gan_start=10 ** 9)
+    trainer_off = Stage1Trainer(tiny_prior(),
+                                DiscriminatorConfig(num_filters_last=8),
+                                tcfg_off, jax.random.PRNGKey(0), sample)
+    for _ in range(2):
+        m = trainer_off.train_step(imgs)
+    assert "revived_codes" not in m and "_code_usage" not in m
