@@ -18,7 +18,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from gpemsr_tpu.core.config import DatasetConfig
-from gpemsr_tpu.utils.image import read_img
+from gpemsr_tpu.data.pack import get_fs
 
 
 def _numeric_sort(names):
@@ -56,22 +56,23 @@ class VQGANDataset:
     def __init__(self, cfg: DatasetConfig, train: bool = True):
         self.cfg = cfg
         self.train = train
-        root = cfg.dataroot_GT
+        # dataroot may be a directory tree or a .pack single-file store (the
+        # reference's img/lmdb duality, data/util.py:35-72); paths are kept
+        # relative to the root either way
+        self.fs = get_fs(cfg.dataroot_GT)
         whitelist = set(_read_dir_whitelist(cfg.chooseGTtxt)) \
             if cfg.chooseGTtxt else None
         self.paths = []
-        for vol in sorted(os.listdir(root)):
+        for vol in self.fs.listdir(""):
             if whitelist is not None and vol not in whitelist:
                 continue
-            vol_path = os.path.join(root, vol)
             if train:
-                for sub in sorted(os.listdir(vol_path)):
-                    sub_path = os.path.join(vol_path, sub)
-                    for idx in _numeric_sort(os.listdir(sub_path)):
-                        self.paths.append(os.path.join(sub_path, f"{idx:04d}.png"))
+                for sub in self.fs.listdir(vol):
+                    for idx in _numeric_sort(self.fs.listdir(f"{vol}/{sub}")):
+                        self.paths.append(f"{vol}/{sub}/{idx:04d}.png")
             else:
-                for idx in _numeric_sort(os.listdir(vol_path)):
-                    self.paths.append(os.path.join(vol_path, f"{idx}.png"))
+                for idx in _numeric_sort(self.fs.listdir(vol)):
+                    self.paths.append(f"{vol}/{idx}.png")
 
     def __len__(self):
         return len(self.paths)
@@ -82,7 +83,7 @@ class VQGANDataset:
             rng = np.random.default_rng(seed)
         else:
             index, rng = args, None
-        img = read_img(self.paths[index])
+        img = self.fs.read_img(self.paths[index])
         if not self.train:
             return img
         gs = self.cfg.GT_size
@@ -101,17 +102,14 @@ class IndexerDataset:
         self.cfg = cfg
         self.scale = scale
         self.train = train
-        self.gt_root = cfg.dataroot_GT
-        self.lr_root = cfg.dataroot_LQ
         inner = VQGANDataset(cfg, train=train)
+        self.gt_fs = inner.fs
+        self.lr_fs = get_fs(cfg.dataroot_LQ)
+        # LR tree mirrors the HR relative layout (Indexer_dataset.py:16-40)
         self.paths = inner.paths
 
     def __len__(self):
         return len(self.paths)
-
-    def _lr_path(self, gt_path):
-        rel = os.path.relpath(gt_path, self.gt_root)
-        return os.path.join(self.lr_root, rel)
 
     def __getitem__(self, args):
         if self.train:
@@ -119,8 +117,8 @@ class IndexerDataset:
             rng = np.random.default_rng(seed)
         else:
             index = args
-        gt = read_img(self.paths[index])
-        lr = read_img(self._lr_path(self.paths[index]))
+        gt = self.gt_fs.read_img(self.paths[index])
+        lr = self.lr_fs.read_img(self.paths[index])
         if not self.train:
             return gt, lr
         gs = self.cfg.GT_size
@@ -135,12 +133,17 @@ class IndexerDataset:
         return gt, lr
 
 
-def seek_slice(dir_path: str, center: int, offset: int) -> str:
+def seek_slice(dir_path: str, center: int, offset: int, fs=None) -> str:
     """Damaged-slice substitution: walk backwards until an existing slice is
-    found (CREMI_dataset.py:104-115 semantics)."""
+    found (CREMI_dataset.py:104-115 semantics). With `fs`, dir_path is a
+    path relative to the fs root."""
+    if fs is None:
+        join, exists = os.path.join, os.path.exists
+    else:
+        join, exists = (lambda a, b: f"{a}/{b}"), fs.exists
     while True:
-        p = os.path.join(dir_path, f"{center + offset}.png")
-        if os.path.exists(p):
+        p = join(dir_path, f"{center + offset}.png")
+        if exists(p):
             return p
         offset -= 1
 
@@ -157,13 +160,14 @@ class CREMIDataset:
         self.N = cfg.N_frames
         half = (self.N - 1) // 2
         self.offsets = list(range(-half, half + 1))
+        self.gt_fs = get_fs(cfg.dataroot_GT)
+        self.lq_fs = get_fs(cfg.dataroot_LQ)
         self.gt_list = []
-        for vol in sorted(os.listdir(cfg.dataroot_GT)):
-            vol_path = os.path.join(cfg.dataroot_GT, vol)
-            ids = _numeric_sort(os.listdir(vol_path))
+        for vol in self.gt_fs.listdir(""):
+            ids = _numeric_sort(self.gt_fs.listdir(vol))
             # trim 2*half boundary slices on each side (CREMI_dataset.py:45)
             for i in ids[2 * half: len(ids) - 2 * half]:
-                self.gt_list.append(os.path.join(vol_path, f"{i}.png"))
+                self.gt_list.append(f"{vol}/{i}.png")
 
     def __len__(self):
         return len(self.gt_list)
@@ -175,11 +179,11 @@ class CREMIDataset:
         else:
             index = args
         gt_path = self.gt_list[index]
-        gt = read_img(gt_path)
-        vol = os.path.basename(os.path.dirname(gt_path))
-        center = int(os.path.splitext(os.path.basename(gt_path))[0])
-        lq_dir = os.path.join(self.cfg.dataroot_LQ, vol)
-        frames = [read_img(seek_slice(lq_dir, center, o)) for o in self.offsets]
+        gt = self.gt_fs.read_img(gt_path)
+        vol, fname = gt_path.rsplit("/", 1)
+        center = int(os.path.splitext(fname)[0])
+        frames = [self.lq_fs.read_img(seek_slice(vol, center, o, self.lq_fs))
+                  for o in self.offsets]
 
         if self.train:
             if self.cfg.random_reverse and rng.random() < 0.5:

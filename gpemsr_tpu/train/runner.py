@@ -47,6 +47,22 @@ def make_train_loader(cfg: ExperimentConfig, dataset, host_id: int,
     return mesh, loader
 
 
+def sharded_map(fwd, inputs, mesh):
+    """Apply a jitted batched `fwd` to a list of equally-shaped arrays,
+    chunked to the mesh's data-axis size and sharded over it — the SPMD
+    equivalent of the reference's rank-striped validation loops
+    (train_stage1.py:212-228). Returns np outputs in input order."""
+    n = mesh.shape["data"]
+    outs = []
+    for s in range(0, len(inputs), n):
+        chunk = list(inputs[s:s + n])
+        pad = n - len(chunk)
+        arr = np.stack(chunk + [chunk[-1]] * pad)
+        out = np.asarray(fwd(host_shard_batch(jnp.asarray(arr), mesh)))
+        outs.extend(out[:len(chunk)])
+    return outs
+
+
 def quarter_tiles(img: np.ndarray):
     """Split ...HWC into 4 quadrants (train_stage2.py:229-257 protocol)."""
     H, W = img.shape[-3], img.shape[-2]
@@ -237,14 +253,15 @@ def run_stage2(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
     def validate(step):
         if val_set is None:
             return {}
+        items = [val_set[i] for i in range(len(val_set))]
+        tiles = [q for _, lr in items for q in quarter_tiles(lr)]
+        outs = sharded_map(
+            lambda b: ref_fwd(state_box["state"].params,
+                              state_box["frozen"], b), tiles, mesh)
         psnrs = []
-        for i in range(len(val_set)):
-            gt, lr = val_set[i]
-            outs = [np.asarray(ref_fwd(state_box["state"].params,
-                                       state_box["frozen"],
-                                       jnp.asarray(q[None])))[0]
-                    for q in quarter_tiles(lr)]
-            full = reassemble_quarters(outs, gt.shape[0], gt.shape[1])
+        for i, (gt, _) in enumerate(items):
+            full = reassemble_quarters(outs[4 * i:4 * i + 4],
+                                       gt.shape[0], gt.shape[1])
             psnrs.append(psnr_of(full, gt))
         return {"psnr_avg": float(np.mean(psnrs))}
 
@@ -310,15 +327,16 @@ def run_stage3(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
     def validate(step):
         if val_set is None:
             return {}
+        items = [val_set[i] for i in range(len(val_set))]
+        tiles = [q for it in items for q in quarter_tiles(it["LQ"])]
+        outs = sharded_map(
+            lambda b: sr_fwd(state_box["state"].params,
+                             state_box["frozen"], b), tiles, mesh)
         psnrs = []
-        for i in range(len(val_set)):
-            item = val_set[i]
-            lq, gt = item["LQ"], item["GT"]
-            outs = [np.asarray(sr_fwd(state_box["state"].params,
-                                      state_box["frozen"],
-                                      jnp.asarray(q[None])))[0]
-                    for q in quarter_tiles(lq)]
-            full = reassemble_quarters(outs, gt.shape[0], gt.shape[1])
+        for i, it in enumerate(items):
+            gt = it["GT"]
+            full = reassemble_quarters(outs[4 * i:4 * i + 4],
+                                       gt.shape[0], gt.shape[1])
             psnrs.append(psnr_of(full, gt))
         return {"psnr_avg": float(np.mean(psnrs))}
 

@@ -22,13 +22,17 @@ def save_img(img: np.ndarray, path: str) -> None:
     Image.fromarray(img).save(path)
 
 
-def read_img(path: str) -> np.ndarray:
-    """PNG -> float32 HWC in [0,1], grayscale kept as 1 channel
+def to_float_img(img: np.ndarray) -> np.ndarray:
+    """uint8 array -> float32 HWC in [0,1], grayscale kept as 1 channel
     (data/util.py:75-88 semantics)."""
-    img = np.asarray(Image.open(path))
     img = img.astype(np.float32) / 255.0
     if img.ndim == 2:
         img = img[..., None]
     if img.shape[2] > 3:
         img = img[..., :3]
     return img
+
+
+def read_img(path: str) -> np.ndarray:
+    """PNG -> float32 HWC in [0,1] (data/util.py:75-88 semantics)."""
+    return to_float_img(np.asarray(Image.open(path)))

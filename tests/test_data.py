@@ -223,3 +223,63 @@ def test_matlab_bicubic_golden_borders(rng, scale, shape):
     ref = _torch_matlab_imresize(img, scale)
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_pack_roundtrip_and_datasets(tmp_path, cremi_tree, rng):
+    """.pack single-file store (the reference's lmdb role, data/util.py:35-72):
+    byte-exact reads, listdir emulation, and dataset parity — every dataset
+    accepts a .pack dataroot and returns items identical to the tree."""
+    from gpemsr_tpu.data.pack import Pack, get_fs, write_pack
+
+    gt_root, lq_root = cremi_tree
+    gt_pack = str(tmp_path / "HR.pack")
+    lq_pack = str(tmp_path / "LR.pack")
+    n = write_pack(gt_root, gt_pack)
+    assert n == 16
+    write_pack(lq_root, lq_pack)
+
+    pack = Pack(gt_pack)
+    assert pack.listdir("") == ["volA"]
+    assert set(pack.listdir("volA")) == {f"{z}.png" for z in range(16)}
+    with open(os.path.join(gt_root, "volA", "3.png"), "rb") as f:
+        assert pack.read("volA/3.png") == f.read()
+    assert pack.exists("volA/6.png") and not pack.exists("volA/99.png")
+
+    fs = get_fs(gt_pack)
+    np.testing.assert_array_equal(
+        fs.read_img("volA/3.png"),
+        get_fs(gt_root).read_img("volA/3.png"))
+
+    # CREMIDataset on packs == on trees (incl. seek through missing slice 7)
+    cfg_tree = DatasetConfig(dataroot_GT=gt_root, dataroot_LQ=lq_root,
+                             N_frames=5, GT_size=32, LQ_size=8)
+    cfg_pack = DatasetConfig(dataroot_GT=gt_pack, dataroot_LQ=lq_pack,
+                             N_frames=5, GT_size=32, LQ_size=8)
+    dt = CREMIDataset(cfg_tree, scale=4, train=True)
+    dp = CREMIDataset(cfg_pack, scale=4, train=True)
+    assert len(dt) == len(dp)
+    for i in (0, 3, 5):
+        a, b = dt[(i, 42)], dp[(i, 42)]
+        np.testing.assert_array_equal(a["GT"], b["GT"])
+        np.testing.assert_array_equal(a["LQ"], b["LQ"])
+
+    # VQGAN/Indexer layout (two-level) through a pack
+    gt2 = tmp_path / "HR2"
+    lr2 = tmp_path / "LR2"
+    for sub in ["s0", "s1"]:
+        for i in range(3):
+            _write_png(str(gt2 / "volA" / sub / f"{i:04d}.png"),
+                       rng.integers(0, 255, (64, 64)))
+            _write_png(str(lr2 / "volA" / sub / f"{i:04d}.png"),
+                       rng.integers(0, 255, (16, 16)))
+    gt2_pack = str(tmp_path / "HR2.pack")
+    lr2_pack = str(tmp_path / "LR2.pack")
+    write_pack(str(gt2), gt2_pack)
+    write_pack(str(lr2), lr2_pack)
+    cfg2t = DatasetConfig(dataroot_GT=str(gt2), dataroot_LQ=str(lr2), GT_size=32)
+    cfg2p = DatasetConfig(dataroot_GT=gt2_pack, dataroot_LQ=lr2_pack, GT_size=32)
+    it, ip = IndexerDataset(cfg2t, 4, train=True), IndexerDataset(cfg2p, 4, train=True)
+    assert len(it) == len(ip) == 6
+    (g1, l1), (g2, l2) = it[(2, 5)], ip[(2, 5)]
+    np.testing.assert_array_equal(g1, g2)
+    np.testing.assert_array_equal(l1, l2)

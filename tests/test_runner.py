@@ -119,3 +119,68 @@ def test_stage3_runner_end_to_end(tmp_path, rng):
     resumed_leaves = jax.tree_util.tree_flatten(frozen2)[0]
     np.testing.assert_allclose(np.asarray(resumed_leaves[0]),
                                np.asarray(leaves[0]), rtol=0, atol=0)
+
+
+def test_stage2_runner_mesh_validation(tmp_path, rng):
+    """Quarter-tile validation sharded over the mesh data axis must equal the
+    serial per-tile computation (the reference's rank-striped val loop,
+    train_stage2.py:229-257)."""
+    import jax
+    import jax.numpy as jnp
+    from gpemsr_tpu.core.config import ParallelConfig
+    from gpemsr_tpu.train.runner import run_stage2
+
+    (tmp_path / "wl.txt").write_text("volA\n")
+    for i in range(4):
+        _write_png(str(tmp_path / "HR" / "volA" / "s0" / f"{i:04d}.png"),
+                   rng.integers(0, 255, (64, 64)))
+        _write_png(str(tmp_path / "LR" / "volA" / "s0" / f"{i:04d}.png"),
+                   rng.integers(0, 255, (4, 4)))
+    # val: flat one-level tree, 3 items (not divisible by the 8-wide mesh:
+    # exercises padding)
+    for i in range(3):
+        _write_png(str(tmp_path / "valHR" / "volv" / f"{i}.png"),
+                   rng.integers(0, 255, (64, 64)))
+        _write_png(str(tmp_path / "valLR" / "volv" / f"{i}.png"),
+                   rng.integers(0, 255, (4, 4)))
+
+    ds = DatasetConfig(dataroot_GT=str(tmp_path / "HR"),
+                       dataroot_LQ=str(tmp_path / "LR"),
+                       chooseGTtxt=str(tmp_path / "wl.txt"),
+                       GT_size=32, batch_size=8, n_workers=1)
+    val = DatasetConfig(dataroot_GT=str(tmp_path / "valHR"),
+                        dataroot_LQ=str(tmp_path / "valLR"))
+    cfg = ExperimentConfig(
+        name="mesh2val", stage=2, scale=16, root=str(tmp_path / "runs"),
+        save_checkpoint_freq=10 ** 9,
+        datasets={"train": ds, "val": val},
+        network=GPEMSRConfig(scale=16, prior=tiny_prior(16)),
+        train=TrainConfig(niter=2, T_period=[10], restarts=[],
+                          restart_weights=[], val_freq=2, logger_freq=1),
+        parallel=ParallelConfig(data=8))
+    _, state, frozen = run_stage2(cfg)
+    metrics = [json.loads(l) for l in
+               (tmp_path / "runs" / "mesh2val" / "metrics.jsonl")
+               .read_text().splitlines()]
+    val_recs = [m for m in metrics if "psnr_avg" in m]
+    assert len(val_recs) == 1 and np.isfinite(val_recs[0]["psnr_avg"])
+
+    # cross-check against a serial per-quarter reference computation
+    from gpemsr_tpu.data.datasets import IndexerDataset
+    from gpemsr_tpu.models.prior import LRGenerator
+    from gpemsr_tpu.train.common import merge_params
+    from gpemsr_tpu.train.runner import (
+        psnr_of, quarter_tiles, reassemble_quarters,
+    )
+    model = LRGenerator(tiny_prior(16))
+    params = merge_params(jax.device_get(state.params),
+                          jax.device_get(frozen))
+    val_set = IndexerDataset(val, 16, train=False)
+    psnrs = []
+    for i in range(len(val_set)):
+        gt, lr = val_set[i]
+        outs = [np.asarray(model.apply({"params": params}, jnp.asarray(
+            q[None]), method=model.output_ref))[0] for q in quarter_tiles(lr)]
+        full = reassemble_quarters(outs, gt.shape[0], gt.shape[1])
+        psnrs.append(psnr_of(full, gt))
+    assert abs(val_recs[0]["psnr_avg"] - float(np.mean(psnrs))) < 1e-3

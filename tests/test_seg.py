@@ -193,3 +193,30 @@ def test_result_galleries(tmp_path, rng):
     # prediction masked to gt foreground: background pixels stay black
     bg = labels[0] == 0
     assert (s[:, S:2 * S][bg] == 0).all()
+
+
+def test_training_debug_plotters(rng):
+    """show.py plotter-family equivalents: training panel, fragment overlay,
+    seed markers."""
+    from gpemsr_tpu.seg.visual import (
+        draw_seeds, overlay_fragments, training_panel,
+    )
+    D, S = 4, 16
+    raw = rng.uniform(0, 1, (D, S, S)).astype(np.float32)
+    pred = rng.uniform(0, 1, (3, D, S, S)).astype(np.float32)
+    tgt = rng.uniform(0, 1, (D, S, S, 3)).astype(np.float32)   # DHWC form
+    panel = training_panel(raw, pred, tgt)
+    assert panel.shape == (S, 7 * S) and panel.dtype == np.uint8
+
+    vol = rng.integers(0, 255, (D, S, S)).astype(np.float32)
+    seg = rng.integers(0, 3, (D, S, S)).astype(np.uint32)
+    ov = overlay_fragments(vol, seg, alpha=0.5)
+    assert ov.shape == (D, S, S, 3)
+    bg = seg == 0
+    np.testing.assert_array_equal(      # background keeps raw gray
+        ov[bg][:, 0], np.clip(vol[bg], 0, 255).astype(np.uint8))
+
+    seeds = np.zeros((S, S), np.uint32)
+    seeds[5, 5] = 1
+    d = draw_seeds(vol[0], seeds)
+    assert tuple(d[5, 5]) == (255, 0, 0) and d.shape == (S, S, 3)

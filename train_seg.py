@@ -44,6 +44,9 @@ def main():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--out", type=str, default="./runs/seg")
     p.add_argument("--save-every", type=int, default=5000)
+    p.add_argument("--show-every", type=int, default=0,
+                   help="dump input|pred|target training panels every N steps "
+                        "(reference show_affs debug plots, show.py:140-205)")
     args = p.parse_args()
     cfg = load_yaml(args.cfg, SegConfig)
 
@@ -77,6 +80,19 @@ def main():
                                         jnp.asarray(w))
         if step % 100 == 0:
             logger.info("step %d: bce=%.5f", step, float(m["bce_loss"]))
+        if args.show_every and step % args.show_every == 0:
+            from PIL import Image
+
+            from gpemsr_tpu.seg.visual import training_panel
+            pred = model.apply(
+                {"params": state.params, "batch_stats": batch_stats},
+                jnp.asarray(imgs[:1]))
+            panel = training_panel(imgs[0, ..., 0],
+                                   np.asarray(pred)[0], affs[0])
+            show_dir = os.path.join(args.out, "show")
+            os.makedirs(show_dir, exist_ok=True)
+            Image.fromarray(panel).save(
+                os.path.join(show_dir, f"{step:06d}.png"))
         if step % args.save_every == 0:
             payload = {"params": jax.device_get(state.params),
                        "batch_stats": jax.device_get(batch_stats),
