@@ -82,11 +82,22 @@ def replicate(tree: Any, mesh: Mesh):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, r), tree)
 
 
-def production_mesh(parallel_cfg) -> Mesh:
+def production_mesh(parallel_cfg, global_batch: int | None = None) -> Mesh:
     """Build the training mesh from ParallelConfig: data=-1 means all
     (remaining) devices on the data axis — the out-of-the-box analog of the
-    reference's one-process-per-GPU DDP default (train_stage1.py:18-25)."""
+    reference's one-process-per-GPU DDP default (train_stage1.py:18-25).
+
+    With data=-1 and a `global_batch`, the data axis is clamped to the
+    largest divisor of the batch (a batch-2 debug run on an 8-chip host gets
+    a 2-wide mesh instead of an error). An explicitly requested data size is
+    honored verbatim — the caller validates divisibility."""
     n = len(jax.devices())
     spatial = max(1, parallel_cfg.spatial)
-    data = parallel_cfg.data if parallel_cfg.data > 0 else max(1, n // spatial)
+    if parallel_cfg.data > 0:
+        data = parallel_cfg.data
+    else:
+        data = max(1, n // spatial)
+        if global_batch is not None:
+            while global_batch % data:
+                data -= 1
     return make_mesh(data=data, spatial=spatial)

@@ -30,13 +30,13 @@ def make_train_loader(cfg: ExperimentConfig, dataset, host_id: int,
     from cfg.parallel, split the global batch across hosts (the reference's
     batch_size//world_size, data/__init__.py:13-14), and guard divisibility
     against the data axis so every chip gets equal shards."""
-    mesh = production_mesh(cfg.parallel)
     ds_cfg = cfg.datasets["train"]
     global_batch = ds_cfg.batch_size
-    n_data = mesh.shape["data"]
     if global_batch % host_count:
         raise ValueError(
             f"batch_size {global_batch} not divisible by host_count {host_count}")
+    mesh = production_mesh(cfg.parallel, global_batch=global_batch)
+    n_data = mesh.shape["data"]
     if global_batch % n_data:
         raise ValueError(
             f"batch_size {global_batch} not divisible by data-axis size {n_data}")

@@ -35,6 +35,8 @@ def main():
     p.add_argument("--show", action="store_true",
                    help="write affinity / segmentation PNG galleries "
                         "(reference inference_seg.py --show)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 model compute (affinities return f32)")
     args = p.parse_args()
     cfg = load_yaml(args.cfg, SegConfig)
     if args.test_split:
@@ -68,7 +70,12 @@ def main():
               "smoke-run only)")
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
 
-    apply_fn = jax.jit(lambda x: model.apply(variables, x))
+    if args.bf16:
+        from gpemsr_tpu.utils.precision import bf16_inference
+        apply_fn = jax.jit(bf16_inference(
+            lambda v, x: model.apply(v, x), variables))
+    else:
+        apply_fn = jax.jit(lambda x: model.apply(variables, x))
 
     raw = load_sr_volume(cfg.data.data_folder, cfg.data.im_path,
                          test_split=cfg.data.test_split)
