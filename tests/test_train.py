@@ -266,3 +266,19 @@ def test_codebook_dead_code_revival(rng):
     for _ in range(2):
         m = trainer_off.train_step(imgs)
     assert "revived_codes" not in m and "_code_usage" not in m
+
+
+def test_production_mesh_batch_clamp():
+    """production_mesh(data=-1) clamps its data axis to a divisor of the
+    global batch; explicit sizes are honored verbatim."""
+    from gpemsr_tpu.core.config import ParallelConfig
+    from gpemsr_tpu.parallel.mesh import production_mesh
+
+    m = production_mesh(ParallelConfig(data=-1), global_batch=2)
+    assert m.shape["data"] == 2                # 8 devices, batch 2 -> 2
+    m = production_mesh(ParallelConfig(data=-1), global_batch=6)
+    assert m.shape["data"] == 6
+    m = production_mesh(ParallelConfig(data=-1), global_batch=16)
+    assert m.shape["data"] == 8                # capped at device count
+    m = production_mesh(ParallelConfig(data=4), global_batch=2)
+    assert m.shape["data"] == 4                # explicit wins (caller errors)
