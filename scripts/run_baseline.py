@@ -27,6 +27,10 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+
+from gpemsr_tpu.core.platform import init_platform  # noqa: E402
+
+init_platform()     # persistent compile cache for the in-process phases
 DATA = os.path.join(ROOT, "dataset", "synth")
 RUNS = os.path.join(ROOT, "runs", "baseline")
 SR_DIR = os.path.join(DATA, "test", "SR", "x16")
