@@ -15,6 +15,18 @@ def init_platform():
     if force:
         from gpemsr_tpu.parallel.mesh import ensure_cpu_devices
         ensure_cpu_devices(max(1, int(force)))
+    # multi-host SPMD: every host runs the same program; the coordinator
+    # address forms the global mesh (the reference's dist.init_process_group
+    # 'env://' role, train_stage1.py:18-25). Process id/count come from
+    # GPEMSR_HOST_ID / GPEMSR_HOST_COUNT or the cluster env JAX autodetects.
+    coord = os.environ.get("JAX_COORDINATOR")
+    if coord and not force:
+        import jax
+        kwargs = {"coordinator_address": coord}
+        if os.environ.get("GPEMSR_HOST_ID") is not None:
+            kwargs["process_id"] = int(os.environ["GPEMSR_HOST_ID"])
+            kwargs["num_processes"] = int(os.environ["GPEMSR_HOST_COUNT"])
+        jax.distributed.initialize(**kwargs)
     # persistent compilation cache (large graphs compile in minutes over
     # remote-compile tunnels; cache hits make restarts cheap)
     cache = os.environ.get(

@@ -17,18 +17,29 @@ from gpemsr_tpu.train.common import TrainState
 def make_seg_step(model, lr: float = 1e-4, train_flag: bool = True):
     tx = optax.adam(lr)
 
+    def center_crop(t, zyx):
+        """[B, C, Z, Y, X] target cropped to the net's (valid-conv) output
+        window — MALA predicts the centered [25,56,56] of a [53,268,268]
+        crop (unet3d_mala valid convolutions)."""
+        dz = (t.shape[2] - zyx[0]) // 2
+        dy = (t.shape[3] - zyx[1]) // 2
+        dx = (t.shape[4] - zyx[2]) // 2
+        return t[:, :, dz:dz + zyx[0], dy:dy + zyx[1], dx:dx + zyx[2]]
+
     def loss_fn(params, batch_stats, imgs, affs, weight):
         variables = {"params": params}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        kwargs = {}
-        mutable = []
         if batch_stats is not None:
-            kwargs["train"] = train_flag
-            mutable = ["batch_stats"]
-        out = model.apply(variables, imgs, mutable=mutable, **kwargs)
-        pred, new_vars = out if mutable else (out, {})
+            # passing mutable= (even []) makes flax return (out, vars)
+            pred, new_vars = model.apply(variables, imgs,
+                                         mutable=["batch_stats"],
+                                         train=train_flag)
+        else:
+            pred, new_vars = model.apply(variables, imgs), {}
         pred = pred.transpose(0, 4, 1, 2, 3)       # [B, C, Z, Y, X]
+        affs = center_crop(affs, pred.shape[2:])
+        weight = center_crop(weight, pred.shape[2:])
         eps = 1e-7
         p = jnp.clip(pred, eps, 1 - eps)
         bce = -(affs * jnp.log(p) + (1 - affs) * jnp.log(1 - p))

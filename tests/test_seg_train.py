@@ -165,3 +165,39 @@ def test_superhuman_variants(rng):
     embed_out, out = mask.apply(p, x)
     assert embed_out.shape == (1, 4, 32, 32, 4) and out.shape == (1, 4, 32, 32, 3)
     assert float(jnp.min(out)) >= 0 and float(jnp.max(out)) <= 1
+
+
+def test_seg_train_step_valid_conv_crop(rng):
+    """Valid-conv nets (MALA): apply returns a bare array (no batch stats)
+    and the output is smaller than the crop — the seg step must center-crop
+    targets to the prediction window (the bug that crashed MALA training)."""
+    from flax import linen as nn
+    from gpemsr_tpu.train.seg import init_seg_state
+
+    class ValidNet(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.Conv(8, (3, 3, 3), padding="VALID", name="c1")(x)
+            h = jax.nn.relu(h)
+            h = nn.Conv(3, (3, 3, 3), padding="VALID", name="c2")(h)
+            return jax.nn.sigmoid(h)
+
+    model = ValidNet()
+    sample = jnp.zeros((1, 12, 24, 24, 1), jnp.float32)
+    state, batch_stats, step = init_seg_state(jax.random.PRNGKey(0), model,
+                                              sample, lr=1e-2)
+    assert batch_stats is None
+    raw = rng.integers(0, 255, (16, 32, 32)).astype(np.uint8)
+    labels = np.zeros((16, 32, 32), np.int64)
+    labels[:, :, :14] = 1
+    labels[:, :, 18:] = 2
+    prov = SegTrainProvider(raw, labels, crop_size=(12, 24, 24),
+                            aug=SegAugmentConfig(if_elastic_aug=False))
+    imgs, affs, w = prov.batch(1, seed=0)
+    assert affs.shape == (1, 3, 12, 24, 24)      # full-crop target
+    state, batch_stats, m0 = step(state, batch_stats, jnp.asarray(imgs),
+                                  jnp.asarray(affs), jnp.asarray(w))
+    for _ in range(5):
+        state, batch_stats, m = step(state, batch_stats, jnp.asarray(imgs),
+                                     jnp.asarray(affs), jnp.asarray(w))
+    assert np.isfinite(m["bce_loss"]) and m["bce_loss"] < m0["bce_loss"]
