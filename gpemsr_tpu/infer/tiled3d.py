@@ -100,12 +100,24 @@ def _regular_grid(padded_shape, proto: TileProtocol):
 
 
 def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
-                out_channels: int = 3, batch: int = 4) -> np.ndarray:
+                out_channels: int = 3, batch: int = 4,
+                params=None) -> np.ndarray:
     """volume [Z, Y, X] float32 in [0,1] -> affinities [C, Z, Y, X].
 
     apply_fn(crop[B, cz, cy, cx, 1]) -> [B, oz, oy, ox, C]. Crops are batched
     (`batch` per device step) so the MXU sees wide convolutions; the
-    accumulation scatter runs inside the same jit."""
+    accumulation scatter runs inside the same jit.
+
+    params: optional variables passed as a REAL jit argument, with
+    apply_fn(params, crop). Without it, closure weights serialize into the
+    compiled graph as constants — fine for small nets, but MALA's ~84M
+    params exceed this environment's remote-compile request limit
+    (HTTP 413). Prefer passing params for big models."""
+    if params is not None:
+        inner_apply = apply_fn
+    else:
+        def inner_apply(_p, crops):
+            return apply_fn(crops)
     pad = proto.pad
     padded = np.pad(volume, tuple((p, p) for p in pad), mode="reflect")
     out_size = proto.out_size()
@@ -158,7 +170,7 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
             return a.reshape(2 * sz, (gy + 1) * sy, (gx + 1) * sx, nc)
 
         @jax.jit
-        def run_fold(vol, rows_pos, rows_val):
+        def run_fold(prm, vol, rows_pos, rows_val):
             def one_row(inp):
                 pos_r, val_r = inp
 
@@ -166,7 +178,7 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
                     pos_b, val_b = binp
                     crops = jax.vmap(lambda p: jax.lax.dynamic_slice(
                         vol, tuple(p), (cz, cy, cx)))(pos_b)
-                    preds = apply_fn(crops[..., None])
+                    preds = inner_apply(prm, crops[..., None])
                     return preds * (w[None, ..., None] *
                                     val_b[:, None, None, None, None])
 
@@ -193,7 +205,8 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
             return a.reshape((gz + 1) * sz, row.shape[1], row.shape[2], 1
                              ).transpose(3, 0, 1, 2)
 
-        acc = run_fold(vol_dev, jnp.asarray(rows_pos), jnp.asarray(rows_val))
+        acc = run_fold(params, vol_dev, jnp.asarray(rows_pos),
+                       jnp.asarray(rows_val))
         wacc = run_wfold()
         out = np.asarray(acc / wacc)
         # trim the fold's zero tail back to the padded volume, then unpad
@@ -207,10 +220,10 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
         # (acc+wacc ~1GB) would otherwise be copied every step — donation
         # makes the scatter-add genuinely in-place on device
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def step(acc, wacc, vol, pos_b, val_b):
+        def step(acc, wacc, prm, vol, pos_b, val_b):
             crops = jax.vmap(lambda p: jax.lax.dynamic_slice(
                 vol, tuple(p), (cz, cy, cx)))(pos_b)
-            preds = apply_fn(crops[..., None])           # [B, oz, oy, ox, C]
+            preds = inner_apply(prm, crops[..., None])   # [B, oz, oy, ox, C]
 
             def add_one(carry, inp):
                 acc, wacc = carry
@@ -233,7 +246,8 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
         pos_dev = jnp.asarray(pos_np)
         val_dev = jnp.asarray(valid_np)
         for i in range(nb):
-            acc, wacc = step(acc, wacc, vol_dev, pos_dev[i], val_dev[i])
+            acc, wacc = step(acc, wacc, params, vol_dev, pos_dev[i],
+                             val_dev[i])
         out = np.asarray(acc / wacc[None])
         return out[:, pad[0]:out.shape[1] - pad[0],
                    pad[1]:out.shape[2] - pad[1],
@@ -242,13 +256,14 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
     # MALA: valid-conv output maps exactly onto the unpadded volume at the
     # crop origin; crops are written without blending (provider_valid.py:283)
     @jax.jit
-    def run_mala(vol, pos_arr):
+    def run_mala(prm, vol, pos_arr):
         acc0 = jnp.zeros((out_channels,) + volume.shape, jnp.float32)
 
         def outer(acc, pos_b):
             def one(acc, pos):
                 crop = jax.lax.dynamic_slice(vol, tuple(pos), (cz, cy, cx))
-                pred = apply_fn(crop[None, ..., None])[0].transpose(3, 0, 1, 2)
+                pred = inner_apply(
+                    prm, crop[None, ..., None])[0].transpose(3, 0, 1, 2)
                 return jax.lax.dynamic_update_slice(
                     acc, pred, (jnp.int32(0),) + tuple(pos)), None
 
@@ -260,4 +275,4 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
 
     # unpadded writes happen in grid order; tail padding rewrites the last
     # crop (identical output, provider semantics)
-    return np.asarray(run_mala(vol_dev, jnp.asarray(pos_np)))
+    return np.asarray(run_mala(params, vol_dev, jnp.asarray(pos_np)))

@@ -55,10 +55,13 @@ class SegScores:
 def evaluate_segmentation(apply_fn, raw_volume: np.ndarray,
                           gt_labels: np.ndarray, cfg: SegConfig,
                           out_dir: str | None = None,
-                          show: bool = False) -> SegScores:
+                          show: bool = False, params=None) -> SegScores:
     """Full protocol on a raw uint8-scale volume [Z, Y, X] (values 0..255).
 
-    apply_fn: jitted seg model on a single crop (see tiled3d.tiled_infer)."""
+    apply_fn: jitted seg model on a single crop (see tiled3d.tiled_infer).
+    params: pass model variables as a jit argument (apply_fn(params, crop))
+    instead of closure constants — required for MALA-size nets on
+    remote-compile backends."""
     proto = TileProtocol.superhuman() if cfg.model.model_type == "superhuman" \
         else TileProtocol.mala()
 
@@ -70,7 +73,8 @@ def evaluate_segmentation(apply_fn, raw_volume: np.ndarray,
     t0 = time.time()
     vol = raw_volume.astype(np.float32) / 255.0
     output_affs = tiled_infer(apply_fn, vol, proto,
-                              out_channels=cfg.model.output_nc)
+                              out_channels=cfg.model.output_nc,
+                              params=params)
     infer_time = time.time() - t0
 
     fragments = watershed(output_affs, "maxima_distance")

@@ -70,12 +70,18 @@ def main():
               "smoke-run only)")
         variables = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
 
+    # variables ride as a jit ARGUMENT (params=), not closure constants:
+    # MALA's ~84M params would otherwise serialize into the compiled graph
+    # (HTTP 413 on remote-compile backends)
     if args.bf16:
-        from gpemsr_tpu.utils.precision import bf16_inference
-        apply_fn = jax.jit(bf16_inference(
-            lambda v, x: model.apply(v, x), variables))
+        from gpemsr_tpu.utils.precision import cast_floats
+        variables = cast_floats(variables, jnp.bfloat16)
+
+        def apply_fn(v, x):
+            return model.apply(v, x.astype(jnp.bfloat16)).astype(jnp.float32)
     else:
-        apply_fn = jax.jit(lambda x: model.apply(variables, x))
+        def apply_fn(v, x):
+            return model.apply(v, x)
 
     raw = load_sr_volume(cfg.data.data_folder, cfg.data.im_path,
                          test_split=cfg.data.test_split)
@@ -84,7 +90,7 @@ def main():
                          cfg.data.test_split)
     out_dir = args.out or os.path.join("Result", cfg.model.model_type)
     scores = evaluate_segmentation(apply_fn, raw, labels, cfg, out_dir,
-                                   show=args.show)
+                                   show=args.show, params=variables)
     print(scores.line())
 
 

@@ -123,3 +123,33 @@ def test_streaming_sr_matches_per_window(rng):
     # on a handful of pixels; outputs must agree within one grey level
     np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
     assert np.mean(a != b) < 0.01
+
+
+def test_tiled_infer_params_argument(rng):
+    """params= passes variables as a jit argument (apply_fn(params, crop))
+    instead of closure constants; results identical to the closure path for
+    both the blended and the MALA valid-conv route."""
+    vol = rng.uniform(0, 1, (10, 32, 32)).astype(np.float32)
+    proto = small_proto()
+    scale = {"s": jnp.asarray(2.0)}
+
+    def with_params(p, crop):
+        return _mean_apply(crop) * p["s"]
+
+    a = tiled_infer(jax.jit(lambda c: _mean_apply(c) * 2.0), vol, proto,
+                    batch=4)
+    b = tiled_infer(with_params, vol, proto, batch=4, params=scale)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+    mproto = TileProtocol(crop=(9, 20, 20), stride=(5, 8, 8), pad=(2, 6, 6),
+                          net_crop=(2, 6, 6), blend=False)
+    mvol = rng.uniform(0, 1, (10, 16, 16)).astype(np.float32)
+
+    def valid_apply(crop):
+        inner = crop[:, 2:-2, 6:-6, 6:-6, 0]
+        return jnp.stack([inner, inner, inner], axis=-1)
+
+    am = tiled_infer(jax.jit(lambda c: valid_apply(c) * 2.0), mvol, mproto)
+    bm = tiled_infer(lambda p, c: valid_apply(c) * p["s"], mvol, mproto,
+                     params=scale)
+    np.testing.assert_allclose(am, bm, atol=1e-5)
