@@ -17,6 +17,8 @@ positions lose fractional precision in bf16)."""
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -28,7 +30,8 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
                   deformable_groups: int = 8,
                   dense_threshold: int = 1024,
                   window_radius: int = 0,
-                  conv_precision=None) -> jax.Array:
+                  conv_precision=None,
+                  sample_dtype=None) -> jax.Array:
     """NHWC modulated deformable conv, stride 1, dilation 1.
 
     Args:
@@ -46,32 +49,102 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
           (ops/dcn_pallas.py). 0 disables. When enabled, a cheap predicate
           `lax.cond`s every call to the exact gather path whenever any
           non-zero bilinear corner falls outside the window, so semantics
-          stay exact for arbitrary offsets.
+          stay exact for arbitrary offsets. Differentiable: the backward pass
+          re-linearizes through the gather formulation (custom_vjp below),
+          since pallas_call has no transpose rule.
+      sample_dtype: dtype the Pallas kernel stores the feature map in. None
+          (default) means float32, matching the gather path's f32 HIGHEST
+          corner blend so the two branches of the guard agree numerically;
+          pass jnp.bfloat16 explicitly to trade ~0.4% sample error for VMEM.
     """
     B, H, W, Cin = x.shape
-    if (window_radius > 0 and H * W > dense_threshold
-            and jax.default_backend() == "tpu"):
-        from gpemsr_tpu.ops.dcn_pallas import (
-            deform_conv2d_windowed, window_ok)
+    if window_radius > 0 and H * W > dense_threshold:
+        from gpemsr_tpu.ops import dcn_pallas
+        if jax.default_backend() == "tpu" or dcn_pallas.INTERPRET:
+            sd = jnp.float32 if sample_dtype is None else sample_dtype
+            return _deform_conv2d_windowed_guarded(
+                kernel_size, padding, deformable_groups, window_radius,
+                conv_precision, sd, x, offset, mask, weight, bias)
+    return _deform_conv2d_xla(
+        x, offset, mask, weight, bias, kernel_size=kernel_size,
+        padding=padding, deformable_groups=deformable_groups,
+        dense_threshold=dense_threshold, conv_precision=conv_precision)
 
-        def _windowed(ops):
-            xx, oo, mm, ww, bb = ops
-            return deform_conv2d_windowed(
-                xx, oo, mm, ww, bb, kernel_size=kernel_size, padding=padding,
-                deformable_groups=deformable_groups, radius=window_radius)
 
-        def _gather(ops):
-            xx, oo, mm, ww, bb = ops
-            return deform_conv2d(
-                xx, oo, mm, ww, bb, kernel_size=kernel_size, padding=padding,
-                deformable_groups=deformable_groups, dense_threshold=0,
-                conv_precision=conv_precision)
+def _guarded_impl(kernel_size, padding, deformable_groups, window_radius,
+                  conv_precision, sample_dtype, x, offset, mask, weight, bias):
+    from gpemsr_tpu.ops.dcn_pallas import deform_conv2d_windowed, window_ok
 
-        ok = window_ok(offset, mask, kernel_size=kernel_size, padding=padding,
-                       deformable_groups=deformable_groups,
-                       radius=window_radius, H=H, W=W)
-        return lax.cond(ok, _windowed, _gather,
-                        (x, offset, mask, weight, bias))
+    B, H, W, Cin = x.shape
+
+    def _windowed(ops):
+        xx, oo, mm, ww, bb = ops
+        return deform_conv2d_windowed(
+            xx, oo, mm, ww, bb, kernel_size=kernel_size, padding=padding,
+            deformable_groups=deformable_groups, radius=window_radius,
+            sample_dtype=sample_dtype)
+
+    def _gather(ops):
+        xx, oo, mm, ww, bb = ops
+        return _deform_conv2d_xla(
+            xx, oo, mm, ww, bb, kernel_size=kernel_size, padding=padding,
+            deformable_groups=deformable_groups, dense_threshold=0,
+            conv_precision=conv_precision)
+
+    ok = window_ok(offset, mask, kernel_size=kernel_size, padding=padding,
+                   deformable_groups=deformable_groups,
+                   radius=window_radius, H=H, W=W)
+    return lax.cond(ok, _windowed, _gather,
+                    (x, offset, mask, weight, bias))
+
+
+# pallas_call has no transpose rule, so jax.grad through the windowed forward
+# would fail loudly. Forward runs the guarded Pallas dispatch; backward
+# re-linearizes through the XLA slab-gather formulation at the same primals
+# (numerically the same function wherever the guard admits the kernel).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _deform_conv2d_windowed_guarded(kernel_size, padding, deformable_groups,
+                                    window_radius, conv_precision,
+                                    sample_dtype, x, offset, mask, weight,
+                                    bias):
+    return _guarded_impl(kernel_size, padding, deformable_groups,
+                         window_radius, conv_precision, sample_dtype,
+                         x, offset, mask, weight, bias)
+
+
+def _guarded_fwd(kernel_size, padding, deformable_groups, window_radius,
+                 conv_precision, sample_dtype, x, offset, mask, weight, bias):
+    out = _guarded_impl(kernel_size, padding, deformable_groups,
+                        window_radius, conv_precision, sample_dtype,
+                        x, offset, mask, weight, bias)
+    return out, (x, offset, mask, weight, bias)
+
+
+def _guarded_bwd(kernel_size, padding, deformable_groups, window_radius,
+                 conv_precision, sample_dtype, res, g):
+    x, offset, mask, weight, bias = res
+
+    def f(xx, oo, mm, ww, bb):
+        return _deform_conv2d_xla(
+            xx, oo, mm, ww, bb, kernel_size=kernel_size, padding=padding,
+            deformable_groups=deformable_groups, dense_threshold=0,
+            conv_precision=conv_precision)
+
+    _, vjp = jax.vjp(f, x, offset, mask, weight, bias)
+    return vjp(g)
+
+
+_deform_conv2d_windowed_guarded.defvjp(_guarded_fwd, _guarded_bwd)
+
+
+def _deform_conv2d_xla(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
+                       weight: jax.Array, bias: jax.Array | None = None,
+                       kernel_size: int = 3, padding: int = 1,
+                       deformable_groups: int = 8,
+                       dense_threshold: int = 1024,
+                       conv_precision=None) -> jax.Array:
+    """Pure-XLA DCNv2: dense one-hot MXU path (small maps) or slab-gather."""
+    B, H, W, Cin = x.shape
     K = kernel_size * kernel_size
     G = deformable_groups
     Cg = Cin // G

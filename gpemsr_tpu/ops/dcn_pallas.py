@@ -21,9 +21,9 @@ shift s reads copy (s mod 8) at the 8-aligned start (s - s mod 8).
 
 Exactness: bit-equal to the gather formulation whenever every non-zero
 bilinear corner lies within the window (|floor(offset)| <= R - 2 for 3x3
-kernels). `deform_conv2d_auto` guards this with a cheap predicate and
-`lax.cond`s to the exact XLA slab-gather path otherwise, so semantics match
-torchvision's deform_conv2d for arbitrary offsets."""
+kernels). `ops/dcn.py::deform_conv2d` (window_radius > 0) guards this with a
+cheap predicate and `lax.cond`s to the exact XLA slab-gather path otherwise,
+so semantics match torchvision's deform_conv2d for arbitrary offsets."""
 
 from __future__ import annotations
 
@@ -133,16 +133,24 @@ def _dcn_kernel(ry_ref, rx_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
         precision=jax.lax.Precision.HIGHEST if exact else None)
 
 
+# Test hook: when True, pallas_call runs in interpret mode and ops/dcn.py
+# routes to the windowed path even off-TPU (CPU differential tests).
+INTERPRET = False
+
+
 def deform_conv2d_windowed(x, offset, mask, weight, bias=None,
                            kernel_size=3, padding=1, deformable_groups=8,
                            radius=6, sample_dtype=jnp.bfloat16,
-                           interpret=False):
+                           interpret=None):
     """Windowed Pallas DCNv2 forward. Exact iff all non-zero bilinear corners
     fall in the (2*radius+1)^2 displacement window (see module docstring);
-    use `deform_conv2d_auto` for the guarded variant.
+    use `ops/dcn.py::deform_conv2d` with window_radius > 0 for the guarded
+    (and differentiable) variant.
 
     x [B,H,W,C]; offset [B,H,W,2*G*K] torch-interleaved (dy,dx); mask
     [B,H,W,G*K] pre-sigmoid-activated or None; weight [K,Cin,Cout]."""
+    if interpret is None:
+        interpret = INTERPRET
     B, H, W, Cin = x.shape
     K = kernel_size * kernel_size
     G = deformable_groups
@@ -230,6 +238,14 @@ def window_ok(offset, mask, kernel_size=3, padding=1, deformable_groups=8,
     wx0 = (1 - fx) * vx0
     wx1 = fx * vx1
     Ru = Rv = int(radius)
-    oky = (((ry >= -Ru) | (wy0 == 0)) & ((ry + 1 <= Ru) | (wy1 == 0)))
-    okx = (((rx >= -Rv) | (wx0 == 0)) & ((rx + 1 <= Rv) | (wx1 == 0)))
+    # Two-sided bounds per corner: the kernel accumulates corner 0 only at
+    # displacements u == ry with u in [-Ru, Ru] and corner 1 only at
+    # u == ry + 1 in the same range, so each corner must lie fully inside the
+    # window unless its folded weight is zero (an out-of-window corner with
+    # nonzero weight would be silently dropped — e.g. exactly-integer offsets
+    # put all weight on corner 0 while corner 1 sits one past the window).
+    oky = ((((ry >= -Ru) & (ry <= Ru)) | (wy0 == 0)) &
+           (((ry + 1 >= -Ru) & (ry + 1 <= Ru)) | (wy1 == 0)))
+    okx = ((((rx >= -Rv) & (rx <= Rv)) | (wx0 == 0)) &
+           (((rx + 1 >= -Rv) & (rx + 1 <= Rv)) | (wx1 == 0)))
     return jnp.all(oky & okx)

@@ -108,6 +108,11 @@ def main():
     p.add_argument("--seeds-per-kpx", type=float, default=0.35,
                    help="segments per 1000 px of section area")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train-only", action="store_true",
+                   help="generate only additional training volumes (no "
+                        "val/test/h5) and append them to train_vqgan.txt")
+    p.add_argument("--vol-offset", type=int, default=0,
+                   help="starting index for volume names (vol{k})")
     args = p.parse_args()
 
     import h5py
@@ -115,7 +120,7 @@ def main():
     rng = np.random.default_rng(args.seed)
     out = args.out
     names = []
-    for k in range(args.train_vols):
+    for k in range(args.vol_offset, args.vol_offset + args.train_vols):
         name = f"vol{k}"
         names.append(name)
         Z, S = args.train_z, args.train_hw
@@ -135,7 +140,18 @@ def main():
             with h5py.File(os.path.join(out, "train_labels.h5"), "w") as f:
                 f.create_dataset("main", data=lab.astype(np.uint32),
                                  compression="gzip")
-        print(f"{name}: {Z}x{S}x{S}, {n_seeds} segments")
+        print(f"{name}: {Z}x{S}x{S}, {n_seeds} segments", flush=True)
+
+    if args.train_only:
+        txt = os.path.join(out, "train_vqgan.txt")
+        existing = []
+        if os.path.exists(txt):
+            with open(txt) as f:
+                existing = [l.strip() for l in f if l.strip()]
+        with open(txt, "w") as f:
+            f.write("\n".join(existing + names) + "\n")
+        print(f"appended {names} -> {txt}")
+        return
 
     # held-out val sections (flat single-level tree, small crops for speed)
     Zv, Sv = args.val_z, min(args.train_hw, 256)

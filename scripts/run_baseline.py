@@ -32,8 +32,13 @@ from gpemsr_tpu.core.platform import init_platform  # noqa: E402
 
 init_platform()     # persistent compile cache for the in-process phases
 DATA = os.path.join(ROOT, "dataset", "synth")
-RUNS = os.path.join(ROOT, "runs", "baseline")
-SR_DIR = os.path.join(DATA, "test", "SR", "x16")
+# GPEMSR_BASELINE_SUFFIX="_v2" selects configs/baseline_*_v2.yml, writes to
+# runs/baseline_v2 and dataset/.../SR_v2, and reuses the suffixless run's
+# protocol seg net (trained on HR only — independent of the SR under test).
+SUFFIX = os.environ.get("GPEMSR_BASELINE_SUFFIX", "")
+RUNS = os.path.join(ROOT, "runs", "baseline" + SUFFIX)
+SEG_RUNS = os.path.join(ROOT, "runs", "baseline")
+SR_DIR = os.path.join(DATA, "test", "SR" + SUFFIX, "x16")
 RESULTS = os.path.join(RUNS, "RESULTS.json")
 
 
@@ -63,15 +68,15 @@ def record(key, value):
 def train_stages():
     if not ckpt_done("baseline_stage1"):
         sh([sys.executable, "train_stage1.py",
-            "-opt", "configs/baseline_stage1.yml"])
+            "-opt", f"configs/baseline_stage1{SUFFIX}.yml"])
     if not ckpt_done("baseline_stage2"):
         sh([sys.executable, "train_stage2.py",
-            "-opt", "configs/baseline_stage2.yml",
+            "-opt", f"configs/baseline_stage2{SUFFIX}.yml",
             "--stage1-ckpt", os.path.join(RUNS, "baseline_stage1",
                                           "checkpoints")])
     if not ckpt_done("baseline_stage3"):
         sh([sys.executable, "train_stage3.py",
-            "-opt", "configs/baseline_stage3.yml",
+            "-opt", f"configs/baseline_stage3{SUFFIX}.yml",
             "--prior-ckpt", os.path.join(RUNS, "baseline_stage2",
                                          "checkpoints")])
 
@@ -91,7 +96,8 @@ def export_sr():
         from gpemsr_tpu.train.common import merge_params
         from gpemsr_tpu.utils.image import read_img
 
-        cfg = load_yaml(os.path.join(ROOT, "configs", "baseline_stage3.yml"),
+        cfg = load_yaml(os.path.join(ROOT, "configs",
+                                     f"baseline_stage3{SUFFIX}.yml"),
                         ExperimentConfig)
         payload = ckpt.restore(os.path.join(RUNS, "baseline_stage3",
                                             "checkpoints"))
@@ -139,7 +145,7 @@ def export_sr():
 
 
 def train_seg_net():
-    out = os.path.join(RUNS, "seg_superhuman")
+    out = os.path.join(SEG_RUNS, "seg_superhuman")
     if os.path.isdir(os.path.join(out, "checkpoints")) and \
             os.listdir(os.path.join(out, "checkpoints")):
         print("seg net already trained")
@@ -165,7 +171,8 @@ def seg_eval():
 
     cfg = load_yaml(os.path.join(ROOT, "configs", "seg_x16_superhuman.yml"),
                     SegConfig)
-    payload = ckpt.restore(os.path.join(RUNS, "seg_superhuman", "checkpoints"))
+    payload = ckpt.restore(os.path.join(SEG_RUNS, "seg_superhuman",
+                                        "checkpoints"))
     variables = {"params": payload["params"]}
     if "batch_stats" in payload:
         variables["batch_stats"] = payload["batch_stats"]
@@ -190,7 +197,13 @@ def seg_eval():
                       "arand": round(scores.arand, 4),
                       "infer_time_s": round(scores.inference_time, 1)})
 
-    # HR oracle run: same protocol on ground-truth HR (upper bound)
+    # HR oracle run: same protocol on ground-truth HR (upper bound) —
+    # independent of the SR under test, so skip if already recorded
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            if "seg_hr" in json.load(f):
+                print("HR oracle already recorded")
+                return
     gt_dir = os.path.join(DATA, "test", "HR")
     vol_hr = np.stack([np.asarray(Image.open(
         os.path.join(gt_dir, f"{i}.png"))) for i in ids], 0).astype(np.float32)
