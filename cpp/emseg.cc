@@ -200,12 +200,26 @@ void cwatershed2d(const float* surface, const int32_t* markers, int h, int w,
 
 // ---------------------------------------------------------------------------
 // Region-graph agglomeration (waterz semantics): edges scored by
-// 1 - mean_affinity, merged ascending until score > threshold, scores
+// 1 - statistic(affinity), merged ascending until score > threshold, scores
 // discretized into `bins` queue buckets (discretize_queue=256), stats merged
 // on union, stale queue entries re-validated lazily.
+//
+// Scorer family (the reference selects these by C++ template string,
+// inference_seg.py:149-153 — waterz EdgeStatisticValue providers):
+//   scorer 0: mean affinity  (OneMinus<...MeanAffinityProvider...>, default)
+//   scorer 1: max affinity   (MaxAffinityProvider)
+//   scorer 2: min affinity   (MinAffinityProvider)
+//   scorer 3: quantile(q)    (QuantileProvider<q>; affinities discretized
+//             into QHB=256 histogram bins, nearest-rank on the bin centers)
 // ---------------------------------------------------------------------------
 
-struct EdgeStat { double sum = 0; uint64_t count = 0; };
+static const int QHB = 256;   // quantile histogram bins (waterz discretizes)
+
+struct EdgeStat {
+  double sum = 0; uint64_t count = 0;
+  float mx = -1e30f, mn = 1e30f;
+  std::vector<uint32_t> histo;   // QHB affinity bins; built for scorer 3 only
+};
 
 struct UF {
   std::vector<uint64_t> parent;
@@ -217,6 +231,7 @@ struct UF {
 
 void agglomerate(const uint64_t* frags, const float* affs,
                  int z, int y, int x, float threshold, int bins,
+                 int scorer, float quantile,
                  uint64_t* out) {
   const int64_t n = (int64_t)z * y * x;
   // remap fragment ids to dense
@@ -262,6 +277,15 @@ void agglomerate(const uint64_t* frags, const float* affs,
           EdgeStat& e = edges[pack(a, b)];
           e.sum += av;
           e.count += 1;
+          if (av > e.mx) e.mx = av;
+          if (av < e.mn) e.mn = av;
+          if (scorer == 3) {
+            if (e.histo.empty()) e.histo.assign(QHB, 0);
+            int hb = (int)(av * QHB);
+            if (hb < 0) hb = 0;
+            if (hb >= QHB) hb = QHB - 1;
+            e.histo[hb] += 1;
+          }
         }
   }
 
@@ -276,8 +300,24 @@ void agglomerate(const uint64_t* frags, const float* affs,
     adj[b][a] = kv.second;
   }
 
-  auto score_of = [](const EdgeStat& e) {
-    return 1.0 - (e.count ? e.sum / e.count : 0.0);
+  auto score_of = [scorer, quantile](const EdgeStat& e) -> double {
+    if (!e.count) return 1.0;
+    switch (scorer) {
+      case 1: return 1.0 - e.mx;
+      case 2: return 1.0 - e.mn;
+      case 3: {
+        // nearest-rank quantile over the discretized affinity histogram:
+        // the k-th smallest value, k = floor(q/100 * (count-1))
+        uint64_t k = (uint64_t)((quantile / 100.0) * (double)(e.count - 1));
+        uint64_t c = 0;
+        for (int b = 0; b < QHB; b++) {
+          c += e.histo.empty() ? 0 : e.histo[b];
+          if (c > k) return 1.0 - ((b + 0.5) / QHB);
+        }
+        return 0.0;
+      }
+      default: return 1.0 - e.sum / e.count;
+    }
   };
   auto discretize = [bins](double s) {
     int q = (int)(s * bins);
@@ -323,9 +363,13 @@ void agglomerate(const uint64_t* frags, const float* affs,
       EdgeStat& tgt = adj[ra][rc];
       tgt.sum += nb.second.sum;
       tgt.count += nb.second.count;
-      EdgeStat& back = adj[rc][ra];
-      back.sum = tgt.sum;  // keep symmetric copy in sync
-      back.count = tgt.count;
+      if (nb.second.mx > tgt.mx) tgt.mx = nb.second.mx;
+      if (nb.second.mn < tgt.mn) tgt.mn = nb.second.mn;
+      if (scorer == 3 && !nb.second.histo.empty()) {
+        if (tgt.histo.empty()) tgt.histo.assign(QHB, 0);
+        for (int b = 0; b < QHB; b++) tgt.histo[b] += nb.second.histo[b];
+      }
+      adj[rc][ra] = tgt;   // keep symmetric copy in sync
       adj[rc].erase(rb);
       pq.push({(double)discretize(score_of(tgt)) / bins, ra, rc});
     }

@@ -262,6 +262,10 @@ class SegConfig:
     data: SegDataConfig = field(default_factory=SegDataConfig)
     waterz_threshold: float = 0.50
     discretize_queue: int = 256
+    # waterz scoring function (reference selects by C++ template string,
+    # inference_seg.py:149-153): 'mean' | 'max' | 'min' | 'quantile:<q>'
+    # or a full waterz template string (seg/native.py::parse_scoring_function)
+    scoring_function: str = "mean"
 
 
 _RESOLVE = {c.__name__: c for c in (

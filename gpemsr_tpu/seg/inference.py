@@ -80,7 +80,8 @@ def evaluate_segmentation(apply_fn, raw_volume: np.ndarray,
     fragments = watershed(output_affs, "maxima_distance")
     segmentation = native.agglomerate(fragments, output_affs,
                                       threshold=cfg.waterz_threshold,
-                                      bins=cfg.discretize_queue)
+                                      bins=cfg.discretize_queue,
+                                      scoring_function=cfg.scoring_function)
     segmentation = relabel(segmentation).astype(np.uint64)
 
     gt = gt_labels.astype(np.uint32)

@@ -43,7 +43,8 @@ def lib() -> ctypes.CDLL:
                                       C.POINTER(C.c_int32)]
         _lib.agglomerate.argtypes = [C.POINTER(C.c_uint64), C.POINTER(C.c_float),
                                      C.c_int, C.c_int, C.c_int, C.c_float,
-                                     C.c_int, C.POINTER(C.c_uint64)]
+                                     C.c_int, C.c_int, C.c_float,
+                                     C.POINTER(C.c_uint64)]
         _lib.malis_weights.argtypes = [C.POINTER(C.c_float), C.POINTER(C.c_uint32),
                                        C.c_int, C.c_int, C.c_int, C.c_int,
                                        C.POINTER(C.c_float)]
@@ -108,16 +109,54 @@ def malis_weights(affs: np.ndarray, seg: np.ndarray, pos: bool) -> np.ndarray:
     return out
 
 
-def agglomerate(fragments: np.ndarray, affs: np.ndarray,
-                threshold: float = 0.5, bins: int = 256) -> np.ndarray:
-    """waterz-style mean-affinity agglomeration.
+#: waterz scoring-function surface (inference_seg.py:149-153 selects these by
+#: C++ template string; we accept the short name or the full template string).
+_SCORERS = {"mean": 0, "max": 1, "min": 2, "quantile": 3}
+_TEMPLATE_SCORERS = {
+    "MeanAffinity": "mean", "MaxAffinity": "max", "MinAffinity": "min",
+    "QuantileAffinity": "quantile",
+}
 
-    fragments [Z,Y,X] uint64, affs [3,Z,Y,X] float32 (z,y,x channels)."""
+
+def parse_scoring_function(name: str) -> tuple[int, float]:
+    """Map a scorer spec to (scorer_id, quantile). Accepts short names
+    ('mean', 'max', 'min', 'quantile:75') or waterz template strings
+    ('OneMinus<EdgeStatisticValue<RegionGraphType, MeanAffinityProvider<...'
+    — the reference's selection surface, inference_seg.py:149)."""
+    s = name.strip()
+    q = 50.0
+    for frag, short in _TEMPLATE_SCORERS.items():
+        if frag in s:
+            if short == "quantile":
+                import re
+                m = re.search(r"QuantileAffinity\w*<[^,>]*,\s*(\d+)", s)
+                if m:
+                    q = float(m.group(1))
+            return _SCORERS[short], q
+    if ":" in s:
+        s, qs = s.split(":", 1)
+        q = float(qs)
+    if s not in _SCORERS:
+        raise ValueError(f"unknown scoring function {name!r}; expected one of "
+                         f"{sorted(_SCORERS)} or a waterz template string")
+    return _SCORERS[s], q
+
+
+def agglomerate(fragments: np.ndarray, affs: np.ndarray,
+                threshold: float = 0.5, bins: int = 256,
+                scoring_function: str = "mean") -> np.ndarray:
+    """waterz-style region-graph agglomeration.
+
+    fragments [Z,Y,X] uint64, affs [3,Z,Y,X] float32 (z,y,x channels).
+    scoring_function: 'mean' (default) | 'max' | 'min' | 'quantile:<q>' or a
+    waterz template string."""
+    scorer, quantile = parse_scoring_function(scoring_function)
     fr = np.ascontiguousarray(fragments.astype(np.uint64))
     af = np.ascontiguousarray(affs.astype(np.float32))
     z, y, x = fr.shape
     out = np.empty_like(fr)
     lib().agglomerate(_ptr(fr, ctypes.c_uint64), _ptr(af, ctypes.c_float),
                       z, y, x, ctypes.c_float(threshold), bins,
+                      scorer, ctypes.c_float(quantile),
                       _ptr(out, ctypes.c_uint64))
     return out

@@ -121,13 +121,15 @@ def oracle_arand(gt, seg, ignore_gt_zero=True):
     return 1.0 - 2 * prec * rec / (prec + rec)
 
 
-def oracle_agglomerate(frags, affs, threshold, bins):
+def oracle_agglomerate(frags, affs, threshold, bins, scorer="mean", q=50.0):
     """Eager waterz-semantics oracle: recompute every discretized score each
     round, merge the global minimum until it exceeds threshold. Mirrors the
-    same discretization; with huge `bins` ties are measure-zero and the
-    result must match the lazy-requeue C++ exactly."""
+    same discretization; with huge `bins` ties are measure-zero (for the
+    continuous scorers) and the result must match the lazy-requeue C++
+    exactly. Scorers mirror the C++ family: 'mean', 'max', 'min',
+    'quantile' (nearest-rank over 256-bin discretized affinities)."""
     z, y, x = frags.shape
-    stats = {}
+    stats = {}     # (a, b) -> list of edge affinities
     for d, stride in ((0, (1, 0, 0)), (1, (0, 1, 0)), (2, (0, 0, 1))):
         a = frags[:z - stride[0] or None, :y - stride[1] or None,
                   :x - stride[2] or None]
@@ -137,9 +139,7 @@ def oracle_agglomerate(frags, affs, threshold, bins):
             if fa == fb or fa == 0 or fb == 0:
                 continue
             k = (min(fa, fb), max(fa, fb))
-            s = stats.setdefault(k, [0.0, 0])
-            s[0] += float(v)
-            s[1] += 1
+            stats.setdefault(k, []).append(float(v))
 
     parent = {int(f): int(f) for f in np.unique(frags)}
 
@@ -150,27 +150,36 @@ def oracle_agglomerate(frags, affs, threshold, bins):
         return a
 
     def disc(s):
-        q = int(s * bins)
-        return min(max(q, 0), bins - 1) / bins
+        qq = int(s * bins)
+        return min(max(qq, 0), bins - 1) / bins
+
+    def score(vals):
+        if scorer == "max":
+            return 1.0 - max(vals)
+        if scorer == "min":
+            return 1.0 - min(vals)
+        if scorer == "quantile":
+            QHB = 256
+            dv = sorted(min(max(int(v * QHB), 0), QHB - 1) for v in vals)
+            k = int((q / 100.0) * (len(dv) - 1))
+            return 1.0 - (dv[k] + 0.5) / QHB
+        return 1.0 - sum(vals) / len(vals)
 
     while True:
         # canonicalize
         canon = {}
-        for (a, b), (sm, ct) in stats.items():
+        for (a, b), vals in stats.items():
             ra, rb = find(a), find(b)
             if ra == rb:
                 continue
             k = (min(ra, rb), max(ra, rb))
-            c = canon.setdefault(k, [0.0, 0])
-            c[0] += sm
-            c[1] += ct
+            canon.setdefault(k, []).extend(vals)
         stats = canon
         if not stats:
             break
-        best = min(stats.items(),
-                   key=lambda kv: disc(1.0 - kv[1][0] / kv[1][1]))
-        score = disc(1.0 - best[1][0] / best[1][1])
-        if score > threshold:
+        best = min(stats.items(), key=lambda kv: disc(score(kv[1])))
+        s = disc(score(best[1]))
+        if s > threshold:
             break
         a, b = best[0]
         parent[b] = a
@@ -314,6 +323,32 @@ def test_agglomerate_exact_vs_eager_oracle(rng):
         assert perm_equal(got, want), f"trial {trial} thr {thr}"
         # background stays untouched
         np.testing.assert_array_equal(got == 0, frags == 0)
+
+
+def test_agglomerate_scorer_family_vs_oracle(rng):
+    """waterz scorer family (inference_seg.py:149-153 template surface):
+    max/min are continuous — exact label match with huge bins; quantile is
+    256-bin discretized (tie order inside a bin is implementation-defined) —
+    require metric-level agreement."""
+    for trial in range(4):
+        shape = (3, 12, 12)
+        frags = _random_fragments(rng, shape, int(rng.integers(8, 16)))
+        affs = rng.uniform(0, 1, (3,) + shape).astype(np.float32)
+        thr = [0.3, 0.5, 0.7, 0.9][trial]
+        for sf, oscorer in (("max", "max"), ("min", "min")):
+            got = native.agglomerate(frags, affs, threshold=thr, bins=10 ** 7,
+                                     scoring_function=sf)
+            want = oracle_agglomerate(frags, affs, thr, 10 ** 7,
+                                      scorer=oscorer)
+            assert perm_equal(got, want), f"{sf} trial {trial} thr {thr}"
+        for qq in (25.0, 50.0, 75.0):
+            got = native.agglomerate(frags, affs, threshold=thr, bins=10 ** 7,
+                                     scoring_function=f"quantile:{qq:.0f}")
+            want = oracle_agglomerate(frags, affs, thr, 10 ** 7,
+                                      scorer="quantile", q=qq)
+            vs, vm = variation_of_information(want.astype(np.uint64),
+                                              got.astype(np.uint64))
+            assert vs + vm < 0.25, (qq, trial, vs, vm)
 
 
 def test_agglomerate_binned_voi_close(rng):
