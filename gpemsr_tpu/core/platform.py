@@ -60,3 +60,45 @@ def init_platform():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+    if coord:
+        _warmup_collectives()
+
+
+def _warmup_collectives():
+    """Establish the cross-process collective context while processes are
+    aligned.
+
+    Gloo (the CPU cross-process collectives backend) performs its rendezvous
+    with a hard-coded ~30 s key-value timeout the first time a communicator
+    is used. If that first use sits inside the first jitted train step, the
+    rendezvous races each process's multi-minute independent compile and
+    times out whenever processes skew by >30 s (observed under CPU
+    contention). So: a coordination-service barrier (generous timeout, no
+    Gloo involved) aligns the processes, then a trivial all-device psum —
+    compiled in seconds — creates the all-devices communicator back-to-back
+    on every process. Subsequent collectives over the same device set (the
+    data-axis psum every train step issues) reuse it, and the blocking fetch
+    leaves all processes in lockstep."""
+    import jax
+    import numpy as np
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None or jax.process_count() == 1:
+        return
+    client.wait_at_barrier("gpemsr_warmup", 1_800_000)
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("d",))
+
+    @jax.jit
+    def _allsum(x):
+        return jnp.sum(x)
+
+    x = jax.device_put(
+        jnp.ones((len(devs),), jnp.float32),
+        NamedSharding(mesh, PartitionSpec("d")))
+    total = float(_allsum(x))
+    assert total == len(devs), total

@@ -65,7 +65,13 @@ class Loader:
 
         def make_batch(b: int):
             batch_idx = indices[b * self.batch_size:(b + 1) * self.batch_size]
-            samples = [self.dataset[(int(i), (epoch << 32) ^ (b * self.batch_size + j))]
+            # augmentation seed keyed to the GLOBAL permutation position, so
+            # a sample draws the same crop/flip regardless of how the epoch
+            # is sharded across hosts (host_count=1 reduces to the local
+            # position) — required for single- vs multi-process loss parity
+            hid, hc = self.sampler.host_id, self.sampler.host_count
+            samples = [self.dataset[(int(i), (epoch << 32)
+                                     ^ ((b * self.batch_size + j) * hc + hid))]
                        for j, i in enumerate(batch_idx)]
             return self.collate(samples)
 
