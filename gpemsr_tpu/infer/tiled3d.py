@@ -101,7 +101,7 @@ def _regular_grid(padded_shape, proto: TileProtocol):
 
 def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
                 out_channels: int = 3, batch: int = 4,
-                params=None) -> np.ndarray:
+                params=None, fetch_dtype=None) -> np.ndarray:
     """volume [Z, Y, X] float32 in [0,1] -> affinities [C, Z, Y, X].
 
     apply_fn(crop[B, cz, cy, cx, 1]) -> [B, oz, oy, ox, C]. Crops are batched
@@ -112,12 +112,25 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
     apply_fn(params, crop). Without it, closure weights serialize into the
     compiled graph as constants — fine for small nets, but MALA's ~84M
     params exceed this environment's remote-compile request limit
-    (HTTP 413). Prefer passing params for big models."""
+    (HTTP 413). Prefer passing params for big models.
+
+    fetch_dtype: optional narrower dtype (np.float16) the normalized
+    affinities are cast to ON DEVICE before the device->host fetch — halves
+    the fetch bytes (the dominant cost on low-bandwidth links; a 50x1024^2
+    f32 volume is ~845 MB). f16 keeps ~5e-4 resolution near 1.0 (8x finer
+    than the u8 quantization that measurably shifted watershed seeds);
+    guard protocol changes with a VOI delta (tests/test_infer.py). The
+    returned array is float32 either way."""
     if params is not None:
         inner_apply = apply_fn
     else:
         def inner_apply(_p, crops):
             return apply_fn(crops)
+    def fetch(dev_arr):
+        if fetch_dtype is not None:
+            dev_arr = dev_arr.astype(fetch_dtype)
+        return np.asarray(dev_arr).astype(np.float32)
+
     pad = proto.pad
     padded = np.pad(volume, tuple((p, p) for p in pad), mode="reflect")
     out_size = proto.out_size()
@@ -208,7 +221,7 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
         acc = run_fold(params, vol_dev, jnp.asarray(rows_pos),
                        jnp.asarray(rows_val))
         wacc = run_wfold()
-        out = np.asarray(acc / wacc)
+        out = fetch(acc / wacc)
         # trim the fold's zero tail back to the padded volume, then unpad
         out = out[:, :padded.shape[0], :padded.shape[1], :padded.shape[2]]
         return out[:, pad[0]:out.shape[1] - pad[0],
@@ -248,7 +261,7 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
         for i in range(nb):
             acc, wacc = step(acc, wacc, params, vol_dev, pos_dev[i],
                              val_dev[i])
-        out = np.asarray(acc / wacc[None])
+        out = fetch(acc / wacc[None])
         return out[:, pad[0]:out.shape[1] - pad[0],
                    pad[1]:out.shape[2] - pad[1],
                    pad[2]:out.shape[3] - pad[2]]
@@ -275,4 +288,4 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
 
     # unpadded writes happen in grid order; tail padding rewrites the last
     # crop (identical output, provider semantics)
-    return np.asarray(run_mala(params, vol_dev, jnp.asarray(pos_np)))
+    return fetch(run_mala(params, vol_dev, jnp.asarray(pos_np)))

@@ -55,7 +55,8 @@ class SegScores:
 def evaluate_segmentation(apply_fn, raw_volume: np.ndarray,
                           gt_labels: np.ndarray, cfg: SegConfig,
                           out_dir: str | None = None,
-                          show: bool = False, params=None) -> SegScores:
+                          show: bool = False, params=None,
+                          fetch_dtype=None) -> SegScores:
     """Full protocol on a raw uint8-scale volume [Z, Y, X] (values 0..255).
 
     apply_fn: jitted seg model on a single crop (see tiled3d.tiled_infer).
@@ -74,7 +75,7 @@ def evaluate_segmentation(apply_fn, raw_volume: np.ndarray,
     vol = raw_volume.astype(np.float32) / 255.0
     output_affs = tiled_infer(apply_fn, vol, proto,
                               out_channels=cfg.model.output_nc,
-                              params=params)
+                              params=params, fetch_dtype=fetch_dtype)
     infer_time = time.time() - t0
 
     fragments = watershed(output_affs, "maxima_distance")

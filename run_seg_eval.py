@@ -37,6 +37,10 @@ def main():
                         "(reference inference_seg.py --show)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 model compute (affinities return f32)")
+    p.add_argument("--fetch-f16", action="store_true",
+                   help="fetch affinities device->host as f16 (halves the "
+                        "dominant transfer on low-bandwidth links; ~5e-4 "
+                        "resolution, guard with a VOI delta)")
     args = p.parse_args()
     cfg = load_yaml(args.cfg, SegConfig)
     if args.test_split:
@@ -90,7 +94,9 @@ def main():
                          cfg.data.test_split)
     out_dir = args.out or os.path.join("Result", cfg.model.model_type)
     scores = evaluate_segmentation(apply_fn, raw, labels, cfg, out_dir,
-                                   show=args.show, params=variables)
+                                   show=args.show, params=variables,
+                                   fetch_dtype=(np.float16 if args.fetch_f16
+                                                else None))
     print(scores.line())
 
 

@@ -57,6 +57,18 @@ def test_tiled_infer_batching_equivalence(rng):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_tiled_infer_fetch_f16_close(rng):
+    """f16 device->host fetch (halved transfer bytes) stays within f16's
+    ~5e-4 resolution of the f32 protocol — the guard for --fetch-f16."""
+    vol = rng.uniform(0, 1, (10, 32, 32)).astype(np.float32)
+    proto = small_proto()
+    a32 = tiled_infer(jax.jit(_mean_apply), vol, proto, batch=4)
+    a16 = tiled_infer(jax.jit(_mean_apply), vol, proto, batch=4,
+                      fetch_dtype=np.float16)
+    assert a16.dtype == np.float32
+    assert np.abs(a32 - a16).max() < 7e-4
+
+
 def test_tiled_infer_mala_geometry(rng):
     # valid-conv protocol: output crop maps onto the unpadded volume
     proto = TileProtocol(crop=(9, 20, 20), stride=(5, 8, 8), pad=(2, 6, 6),
