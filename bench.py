@@ -22,9 +22,15 @@ multi-frame net with 4 DCN stages + VQGAN prior decode + VGG masking at
 1024^2 output, ~0.5 s/section => 2.0 MPix/s. Treat the absolute ratio as
 indicative; the measured MPix/s is the hard number.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE final JSON line: {"metric", "value", "unit", "vs_baseline"}.
+A PROVISIONAL line (same schema, measured from the first rep) is printed as
+soon as the first timed repetition completes, so a driver timeout that kills
+the process mid-benchmark still leaves a parseable result on stdout — the
+final line simply overrides it when reached (round-2 lesson: BENCH_r02 was
+rc=124 with nothing printed).
 Flags: --f32 (disable bf16), --per-window (reference-style full forward per
-section), --batch=N (sections processed concurrently), --iters=N.
+section), --batch=N (sections processed concurrently), --iters=N, --x8
+(bench the x8 model; metric name changes accordingly).
 """
 
 from __future__ import annotations
@@ -53,6 +59,7 @@ def main():
 
     use_bf16 = "--f32" not in sys.argv
     streaming = "--per-window" not in sys.argv
+    x8 = "--x8" in sys.argv
     batch = 1
     iters = 6
     for a in sys.argv[1:]:
@@ -61,9 +68,23 @@ def main():
         if a.startswith("--iters="):
             iters = int(a.split("=")[1])
 
-    cfg = _flagship_cfg()
+    scale = 8 if x8 else 16
+    if x8:
+        from gpemsr_tpu.core.config import GPEMSRConfig
+        cfg = GPEMSRConfig(scale=8)
+    else:
+        cfg = _flagship_cfg()
+    # perf-experiment overrides (not the shipped defaults)
+    import dataclasses
+    for a in sys.argv[1:]:
+        if a.startswith("--dense-threshold="):
+            cfg = dataclasses.replace(
+                cfg, dcn_dense_threshold=int(a.split("=")[1]))
+        if a.startswith("--window-radius="):
+            cfg = dataclasses.replace(
+                cfg, dcn_window_radius=int(a.split("=")[1]))
     model = GPEMSR(cfg)
-    h = w = 64                     # full-section LR size (1024 / 16)
+    h = w = 1024 // scale          # full-section LR size
     lq0 = jnp.zeros((1, 5, 16, 16, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), lq0)
 
@@ -84,7 +105,18 @@ def main():
             params, x, frame_feats=ft)[0]
         full_fn = lambda x: model.apply(params, x)[0]   # noqa: E731
 
-    def timed_chain(step, init, reps=3):
+    mpix = batch * (h * scale) * (w * scale) / 1e6
+    metric = f"sr_x{scale}_inference_throughput"
+
+    def emit(value):
+        print(json.dumps({
+            "metric": metric,
+            "value": round(value, 3),
+            "unit": "megapixels/sec/chip",
+            "vs_baseline": round(value / A100_BASELINE_MPIX_S, 3),
+        }), flush=True)
+
+    def timed_chain(step, init, reps=2, overhead=0.0, provisional=False):
         @jax.jit
         def chained(c0):
             return jax.lax.fori_loop(0, iters, lambda i, c: step(c), c0)
@@ -98,6 +130,9 @@ def main():
             _ = float(jax.tree_util.tree_leaves(out)[0]
                       .astype(jnp.float32).sum())
             ts.append(time.perf_counter() - t0)
+            if provisional and _r == 0:
+                # timeout insurance: a parseable result as soon as possible
+                emit(mpix / ((ts[0] - overhead) / iters))
         return min(ts)
 
     overhead = timed_chain(lambda c: c + 1.0, jnp.ones((8, 128), jnp.float32))
@@ -115,24 +150,14 @@ def main():
             feats = tuple(None if t is None else
                           jnp.concatenate([t] * 5, axis=1) for t in f)
             return win_fn(feats, lq)
-
-        init = jnp.zeros((batch, h * 16, w * 16, 1), jnp.float32)
-        t = (timed_chain(step, init) - overhead) / iters
     else:
         def step(c):
             return full_fn(lq + dep(c).astype(lq.dtype))
 
-        init = jnp.zeros((batch, h * 16, w * 16, 1), jnp.float32)
-        t = (timed_chain(step, init) - overhead) / iters
-
-    mpix = batch * (h * 16) * (w * 16) / 1e6
-    value = mpix / t
-    print(json.dumps({
-        "metric": "sr_x16_inference_throughput",
-        "value": round(value, 3),
-        "unit": "megapixels/sec/chip",
-        "vs_baseline": round(value / A100_BASELINE_MPIX_S, 3),
-    }))
+    init = jnp.zeros((batch, h * scale, w * scale, 1), jnp.float32)
+    t = (timed_chain(step, init, overhead=overhead, provisional=True)
+         - overhead) / iters
+    emit(mpix / t)
 
 
 if __name__ == "__main__":
