@@ -220,3 +220,54 @@ def test_training_debug_plotters(rng):
     seeds[5, 5] = 1
     d = draw_seeds(vol[0], seeds)
     assert tuple(d[5, 5]) == (255, 0, 0) and d.shape == (S, S, 3)
+
+
+def test_coordinate_arithmetic():
+    """Coordinate parity (reference utils/coordinate.py:3)."""
+    from gpemsr_tpu.seg.coordinate import Coordinate
+
+    a = Coordinate((2, 3, 4))
+    b = Coordinate((10, 5, 1))
+    assert a * b == (20, 15, 4)
+    assert a + b == (12, 8, 5)
+    assert b - a == (8, 2, -3)
+    assert -a == (-2, -3, -4)
+    assert abs(Coordinate((-1, 2, -3))) == (1, 2, 3)
+    assert a * 2 == (4, 6, 8)
+    assert b // 2 == (5, 2, 0)
+    assert a.dims() == 3
+    c = Coordinate((1, None, 3)) + (1, 1, 1)
+    assert c == (2, None, 4)
+
+
+def test_gen_seeds_and_erosion():
+    """Seed utilities parity (reference seeds_func.py:44-113)."""
+    from gpemsr_tpu.seg.seeds import erosion_labels, gen_seeds, gen_seeds_2
+
+    labels = np.zeros((32, 32), np.int32)
+    labels[4:14, 4:14] = 5
+    labels[18:30, 18:30] = 9
+    labels[0, 0] = 7                      # tiny blob -> removed (min_size)
+    # reference semantics: the EDT lives INSIDE the zero-affinity band
+    # (mahotas.distance(boundary < 0.5)), and each label's seed is its
+    # deepest overlap with that band — so give each label a zero pocket
+    affs = np.ones((32, 32), np.float32)
+    affs[6:12, 6:12] = 0                  # pocket inside label 5
+    affs[20:28, 20:28] = 0                # pocket inside label 9
+
+    seeds, boundary = gen_seeds(labels.copy(), affs, min_size=10)
+    assert boundary[0, 0] == 1            # forced frame
+    ids = np.unique(seeds)
+    assert list(ids) == [0, 1, 2]         # renumbered
+    assert (seeds > 0).sum() == 2         # exactly one seed per kept label
+    # each seed sits inside its own label's support, at the pocket center
+    ys, xs = np.nonzero(seeds)
+    assert {labels[y, x] for y, x in zip(ys, xs)} == {5, 9}
+
+    seeds2 = gen_seeds_2(labels.copy(), affs, min_size=10)
+    assert set(np.unique(seeds2)) == {0, 5, 9}   # original ids kept
+
+    er = erosion_labels(labels.copy(), steps=2)
+    assert set(np.unique(er)) <= {0, 5, 7, 9}
+    assert (er == 5).sum() < (labels == 5).sum()     # shrank
+    assert er[4, 4] == 0                              # corner eroded away

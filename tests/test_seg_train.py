@@ -201,3 +201,36 @@ def test_seg_train_step_valid_conv_crop(rng):
         state, batch_stats, m = step(state, batch_stats, jnp.asarray(imgs),
                                      jnp.asarray(affs), jnp.asarray(w))
     assert np.isfinite(m["bce_loss"]) and m["bce_loss"] < m0["bce_loss"]
+
+
+def test_se_layers_shapes_and_gating(rng):
+    """SE family (reference residual.py:46-151 / squeeze_excite.py — dead
+    code there, implemented for inventory completeness): shapes preserved,
+    outputs are a bounded gate of the input."""
+    from gpemsr_tpu.models.seg.se import (
+        ResBlockSEAnisoDilation, SELayer, SELayerCS)
+
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 4, 16, 16, 8)).astype(np.float32))
+    se = SELayer(channel=8)
+    v = se.init(jax.random.PRNGKey(0), x)
+    y = se.apply(v, x)
+    assert y.shape == x.shape
+    # channel gate is sigmoid-bounded: |y| <= |x| elementwise
+    assert np.all(np.abs(np.asarray(y)) <= np.abs(np.asarray(x)) + 1e-6)
+
+    secs = SELayerCS(channel=8)
+    v = secs.init(jax.random.PRNGKey(0), x)
+    y = secs.apply(v, x)
+    assert y.shape == x.shape
+    # channel+spatial gates sum: |y| <= 2|x|
+    assert np.all(np.abs(np.asarray(y)) <= 2 * np.abs(np.asarray(x)) + 1e-6)
+
+    blk = ResBlockSEAnisoDilation(out_planes=8)
+    v = blk.init(jax.random.PRNGKey(0), x)
+    y = blk.apply(v, x)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+    # train-mode BN updates batch_stats
+    y, mut = blk.apply(v, x, train=True, mutable=["batch_stats"])
+    assert "batch_stats" in mut
