@@ -53,15 +53,18 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
           re-linearizes through the gather formulation (custom_vjp below),
           since pallas_call has no transpose rule.
       sample_dtype: dtype the Pallas kernel stores the feature map in. None
-          (default) means float32, matching the gather path's f32 HIGHEST
-          corner blend so the two branches of the guard agree numerically;
-          pass jnp.bfloat16 explicitly to trade ~0.4% sample error for VMEM.
+          (default) means x.dtype — storing the input's own values is
+          LOSSLESS (the corner blend always accumulates in f32, matching
+          the gather path's f32 HIGHEST blend of the same values), and for
+          bf16 models halves the kernel's VMEM footprint. Pass an explicit
+          dtype only to override (e.g. jnp.float32 to upcast bf16 inputs,
+          which adds nothing numerically).
     """
     B, H, W, Cin = x.shape
     if window_radius > 0 and H * W > dense_threshold:
         from gpemsr_tpu.ops import dcn_pallas
         if jax.default_backend() == "tpu" or dcn_pallas.INTERPRET:
-            sd = jnp.float32 if sample_dtype is None else sample_dtype
+            sd = x.dtype if sample_dtype is None else sample_dtype
             return _deform_conv2d_windowed_guarded(
                 kernel_size, padding, deformable_groups, window_radius,
                 conv_precision, sd, x, offset, mask, weight, bias)
