@@ -70,8 +70,8 @@ def main():
 
     scale = 8 if x8 else 16
     if x8:
-        from gpemsr_tpu.core.config import GPEMSRConfig
-        cfg = GPEMSRConfig(scale=8)
+        from gpemsr_tpu.core.config import GPEMSRConfig, PriorConfig
+        cfg = GPEMSRConfig(scale=8, prior=PriorConfig(scale=8))
     else:
         cfg = _flagship_cfg()
     # perf-experiment overrides (not the shipped defaults)

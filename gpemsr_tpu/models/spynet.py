@@ -13,7 +13,7 @@ import numpy as np
 from flax import linen as nn
 
 from gpemsr_tpu.ops.resize import resize_bilinear
-from gpemsr_tpu.ops.warp import flow_warp
+from gpemsr_tpu.ops.warp_pallas import spynet_flow_warp
 
 _MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 _STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -58,7 +58,7 @@ class SpyNet(nn.Module):
             else:
                 h, w = ref_l[level].shape[1:3]
                 flow_up = resize_bilinear(flow, h, w, align_corners=True) * 2.0
-            warped = flow_warp(supp_l[level], flow_up, padding_mode="border")
+            warped = spynet_flow_warp(supp_l[level], flow_up)
             inp = jnp.concatenate([ref_l[level], warped, flow_up], axis=-1)
             flow = flow_up + BasicModule(name=f"basic_module{level}")(inp)
         return flow

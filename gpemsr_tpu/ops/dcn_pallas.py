@@ -86,7 +86,7 @@ def _expand_matrix(K, G, Cg):
 
 def _dcn_kernel(ry_ref, rx_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
                 xc_ref, rmat_ref, wconv_ref, out_ref,
-                acc_ref, wxt_ref,
+                acc_ref, wxe_ref,
                 *, Ru, Rv, TP, W, C, K, G, PW, exact):
     t = pl.program_id(1)
     ry = ry_ref[0]
@@ -95,14 +95,23 @@ def _dcn_kernel(ry_ref, rx_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
     rx = rx_ref[0]
     wx0 = wx0_ref[0]
     wx1 = wx1_ref[0]
+    rmat = rmat_ref[:]
 
-    # per-x-displacement corner-weight table [NV, TP, K*G]
+    # Factorized weight expansion: rmat is a one-hot selection, so
+    # dot(wy*wx, rmat) == dot(wy, rmat) * dot(wx, rmat) BIT-EXACTLY (each
+    # output lane selects one (k, g) entry; multiply-then-select equals
+    # select-then-multiply). Expanding the NV x-tables and NU y-rows
+    # separately needs NU+NV dots per tile instead of NU*NV — 18 vs 81 at
+    # radius 4, cutting the kernel's dominant MXU cost ~4.5x.
+    # per-x-displacement EXPANDED corner weights [NV, TP, K*C]
     for vi, v in enumerate(range(-Rv, Rv + 1)):
-        wxt_ref[vi] = (jnp.where(rx == v, wx0, 0.0) +
-                       jnp.where(rx == v - 1, wx1, 0.0))
+        wxv = (jnp.where(rx == v, wx0, 0.0) +
+               jnp.where(rx == v - 1, wx1, 0.0))
+        # HIGHEST: bilinear weights must not round to bf16 (rmat is 0/1)
+        wxe_ref[vi] = jnp.dot(wxv, rmat, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    rmat = rmat_ref[:]
 
     # Outer loop over y-displacement u is a DYNAMIC fori_loop: u*W is a
     # multiple of 8 so the row start stays provably 8-aligned, and keeping it
@@ -114,17 +123,15 @@ def _dcn_kernel(ry_ref, rx_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
         u = ui - Ru
         wyu = (jnp.where(ry == u, wy0, 0.0) +
                jnp.where(ry == u - 1, wy1, 0.0))
+        wye = jnp.dot(wyu, rmat, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         row0 = t * TP + PW + u * W
         for v in range(-Rv, Rv + 1):
             r = v % 8                              # python mod: 0..7
             start = row0 + (v - r)                 # all terms multiples of 8
             xs = xc_ref[0, r, pl.ds(pl.multiple_of(start, 8), TP), :]
-            w72 = wyu * wxt_ref[v + Rv]
-            # HIGHEST: bilinear weights must not round to bf16 (rmat is 0/1)
-            wkc = jnp.dot(w72, rmat, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
             xrep = pltpu.repeat(xs, K, axis=1).astype(jnp.float32)
-            acc_ref[:] += wkc * xrep
+            acc_ref[:] += (wye * wxe_ref[v + Rv]) * xrep
         return carry
 
     lax.fori_loop(0, 2 * Ru + 1, u_body, 0)
@@ -209,7 +216,7 @@ def deform_conv2d_windowed(x, offset, mask, weight, bias=None,
         out_shape=jax.ShapeDtypeStruct((B, R, Cout), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((TP, K * Cin), jnp.float32),
-            pltpu.VMEM((NV, TP, K * G), jnp.float32),
+            pltpu.VMEM((NV, TP, K * Cin), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

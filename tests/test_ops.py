@@ -275,3 +275,66 @@ def test_deform_conv_dense_equals_gather(rng):
     gathered = deform_conv2d(*args, deformable_groups=G, dense_threshold=0)
     np.testing.assert_allclose(np.asarray(dense), np.asarray(gathered),
                                atol=2e-4)
+
+
+def test_flow_warp_windowed_matches_gather(rng):
+    """Pallas windowed warp (interpret mode) == slab-gather border warp,
+    including the guard fallback for out-of-window flows."""
+    from gpemsr_tpu.ops import warp_pallas
+    from gpemsr_tpu.ops.warp_pallas import flow_warp_windowed, warp_window_ok
+
+    B, H, W, C = 2, 16, 128, 3
+    x = rng.standard_normal((B, H, W, C), dtype=np.float32)
+
+    old = warp_pallas.INTERPRET
+    warp_pallas.INTERPRET = True
+    try:
+        # in-window flows -> kernel path, must match the gather formulation
+        flow = np.clip(rng.standard_normal((B, H, W, 2)) * 2.5,
+                       -6, 6).astype(np.float32)
+        assert bool(warp_window_ok(jnp.asarray(flow), H, W, 8))
+        out = flow_warp_windowed(jnp.asarray(x), jnp.asarray(flow), radius=8)
+        ref = flow_warp(jnp.asarray(x), jnp.asarray(flow),
+                        padding_mode="border")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+        # border-clamped corners (flow pushing past edges) stay exact as
+        # long as the clamped displacement fits the window
+        flow_edge = np.zeros((B, H, W, 2), np.float32)
+        flow_edge[..., 0] = 3.7
+        flow_edge[..., 1] = -2.2
+        out = flow_warp_windowed(jnp.asarray(x), jnp.asarray(flow_edge),
+                                 radius=8)
+        ref = flow_warp(jnp.asarray(x), jnp.asarray(flow_edge),
+                        padding_mode="border")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+        # out-of-window flow -> guard falls back to the gather path exactly
+        flow_big = flow.copy()
+        flow_big[0, H // 2, 5, 0] = 40.0
+        assert not bool(warp_window_ok(jnp.asarray(flow_big), H, W, 8))
+        out = flow_warp_windowed(jnp.asarray(x), jnp.asarray(flow_big),
+                                 radius=8)
+        ref = flow_warp(jnp.asarray(x), jnp.asarray(flow_big),
+                        padding_mode="border")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+    finally:
+        warp_pallas.INTERPRET = old
+
+
+def test_spynet_flow_warp_routing(rng):
+    """spynet_flow_warp == flow_warp(border) for both lane-aligned and
+    unaligned shapes (the latter routes to the gather path)."""
+    from gpemsr_tpu.ops.warp_pallas import spynet_flow_warp
+
+    for (H, W) in ((16, 128), (8, 10)):
+        x = rng.standard_normal((2, H, W, 3), dtype=np.float32)
+        flow = (rng.standard_normal((2, H, W, 2)) * 2).astype(np.float32)
+        out = spynet_flow_warp(jnp.asarray(x), jnp.asarray(flow))
+        ref = flow_warp(jnp.asarray(x), jnp.asarray(flow),
+                        padding_mode="border")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
