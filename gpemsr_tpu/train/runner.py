@@ -130,7 +130,14 @@ class StageRunner:
                     ckpt.save(self.ckpt_dir, step, self.state_pack(),
                               keep=self.cfg.keep_checkpoints)
             epoch += 1
-        self.logger.info("training done at step %d", min(step, t.niter))
+        step = min(step, t.niter)
+        # final checkpoint: without this, niter not divisible by
+        # save_checkpoint_freq silently drops the tail of training
+        if step > 0 and (step % self.cfg.save_checkpoint_freq != 0
+                         or ckpt.latest_step(self.ckpt_dir) != step):
+            ckpt.save(self.ckpt_dir, step, self.state_pack(),
+                      keep=self.cfg.keep_checkpoints)
+        self.logger.info("training done at step %d", step)
 
 
 # ---------------------------------------------------------------------------

@@ -89,16 +89,17 @@ def test_stage3_runner_end_to_end(tmp_path, rng):
         network=GPEMSRConfig(nf=16, groups=4, front_RBs=1, back_RBs=1,
                              ref_fusion_feat_RBs=1, scale=16,
                              prior=tiny_prior(16)),
-        train=TrainConfig(niter=2, T_period=[10], restarts=[],
+        train=TrainConfig(niter=3, T_period=[10], restarts=[],
                           restart_weights=[], val_freq=1000, logger_freq=1,
                           ref_loss_factor=0.01),
     )
     model, state, frozen = run_stage3(cfg)
-    assert int(state.step) == 2
-    # checkpoint written and restorable
+    assert int(state.step) == 3
+    # checkpoint written and restorable; niter=3 is NOT divisible by
+    # save_checkpoint_freq=2, so latest==3 proves the final-step save
     from gpemsr_tpu.core import checkpoint as ckpt
     cdir = str(tmp_path / "runs" / "mini3" / "checkpoints")
-    assert ckpt.latest_step(cdir) == 2
+    assert ckpt.latest_step(cdir) == 3
     payload = ckpt.restore(cdir)
     assert "params" in payload and "frozen" in payload
     # metrics written
@@ -113,9 +114,9 @@ def test_stage3_runner_end_to_end(tmp_path, rng):
     leaves, treedef = jax.tree_util.tree_flatten(payload["frozen"])
     leaves[0] = leaves[0] + 1.25
     payload["frozen"] = jax.tree_util.tree_unflatten(treedef, leaves)
-    ckpt.save(cdir, 2, payload)
+    ckpt.save(cdir, 3, payload)
     _, state2, frozen2 = run_stage3(cfg)      # niter already reached: no steps
-    assert int(state2.step) == 2
+    assert int(state2.step) == 3
     resumed_leaves = jax.tree_util.tree_flatten(frozen2)[0]
     np.testing.assert_allclose(np.asarray(resumed_leaves[0]),
                                np.asarray(leaves[0]), rtol=0, atol=0)
