@@ -336,20 +336,35 @@ class GPEMSR(nn.Module):
         # (GPEMSR.py:345-358) — materialising a [B*N, 64*256, L] tensor. The
         # per-patch cosine is exactly expressible with 16x16 sum-pools of
         # (a*b, a*a, b*b): identical numerics, none of the unfold traffic.
+        # On TPU the conv1_2 + products + pools further fuse into one Pallas
+        # kernel (ops/vggmask_pallas.py) that never writes relu1_2 to HBM.
         up_lr = interpolate(xf, float(s))
-        vgg_ref = self.vgg(jnp.broadcast_to(
-            ref_img, ref_img.shape[:-1] + (3,)))["relu1_2"]
-        vgg_lr = self.vgg(jnp.broadcast_to(
-            up_lr, up_lr.shape[:-1] + (3,)))["relu1_2"]
+        from gpemsr_tpu.ops import vggmask_pallas
+        Hs, Ws = ref_img.shape[1:3]
+        if not self.is_initializing() and vggmask_pallas.supported(Hs, Ws):
+            vp = self.vgg.variables["params"]
+            sim = vggmask_pallas.vgg_patch_cosine(
+                ref_img, up_lr,
+                vp["conv1_1"]["kernel"], vp["conv1_1"]["bias"],
+                vp["conv1_2"]["kernel"], vp["conv1_2"]["bias"])
+            # nothing trainable feeds the mask inputs (bank is
+            # stop_gradient'ed above; up_lr is data) — keep that explicit,
+            # the kernel defines no VJP
+            sim = jax.lax.stop_gradient(sim).astype(xf.dtype)
+        else:
+            vgg_ref = self.vgg(jnp.broadcast_to(
+                ref_img, ref_img.shape[:-1] + (3,)))["relu1_2"]
+            vgg_lr = self.vgg(jnp.broadcast_to(
+                up_lr, up_lr.shape[:-1] + (3,)))["relu1_2"]
 
-        def patch_sums(t):
-            p = nn.avg_pool(t, (16, 16), strides=(16, 16))
-            return jnp.sum(p, axis=-1) * 256.0               # [B*N, gh, gw]
+            def patch_sums(t):
+                p = nn.avg_pool(t, (16, 16), strides=(16, 16))
+                return jnp.sum(p, axis=-1) * 256.0           # [B*N, gh, gw]
 
-        dot = patch_sums(vgg_ref * vgg_lr)
-        na = jnp.sqrt(patch_sums(vgg_ref * vgg_ref))
-        nb = jnp.sqrt(patch_sums(vgg_lr * vgg_lr))
-        sim = dot / (na * nb + 1e-12)
+            dot = patch_sums(vgg_ref * vgg_lr)
+            na = jnp.sqrt(patch_sums(vgg_ref * vgg_ref))
+            nb = jnp.sqrt(patch_sums(vgg_lr * vgg_lr))
+            sim = dot / (na * nb + 1e-12)
         mh, mw = (H, W) if s == 16 else (H // 2, W // 2)
         mask = sim.reshape(B * N, mh, mw, 1)
         mask = lrelu(Conv(nf, name="refmaskconv1")(mask))

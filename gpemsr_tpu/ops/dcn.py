@@ -23,6 +23,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+# Padded-HBM budget (MB) above which the slab-gather fallback runs in
+# whole-row chunks (see _deform_conv2d_xla). Patchable in tests.
+_CHUNK_BUDGET_MB = 384
+
 
 def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
                   weight: jax.Array, bias: jax.Array | None = None,
@@ -216,56 +220,92 @@ def _deform_conv2d_xla(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
             out = out + bias
         return out.reshape(B, H, W, -1)
 
-    # one gather per sample: 2x2xCg corner block at (by, bx, g)
-    by = jnp.clip(y0p, 0, max(H - 2, 0))
-    bx = jnp.clip(x0p, 0, max(W - 2, 0))
-    gids = jnp.broadcast_to(
-        jnp.arange(G, dtype=jnp.int32)[None, None, None, :], y0p.shape)
-    starts = jnp.stack([by, bx, gids], axis=-1).reshape(B, N * G, 3)
+    mask_t = None
+    if mask is not None:
+        mask_t = mask.astype(jnp.float32).reshape(B, H * W, G, K)
+        mask_t = mask_t.transpose(0, 1, 3, 2)
 
     xg = x.reshape(B, H, W, G, Cg)
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4),            # slab dims (y, x, Cg) in the output
-        collapsed_slice_dims=(3,),        # the size-1 group slice
-        start_index_map=(1, 2, 3),        # (y, x, g)
-        operand_batching_dims=(0,),
-        start_indices_batching_dims=(0,),
-    )
-    slab = lax.gather(xg, starts, dnums, slice_sizes=(1, 2, 2, 1, Cg),
-                      mode=lax.GatherScatterMode.CLIP)
-    slab = slab.reshape(B, H * W, K, G, 2, 2, Cg)
-
-    # per-slab-position bilinear weights: slab rows are (by, by+1); row i is
-    # corner y0 (weight (1-fy)) iff by+i == y0, corner y0+1 (weight fy) iff
-    # by+i == y0+1, else 0 — validity folded in. No corner selection needed.
-    def axis_w(c0, base, frac, size):
-        v0 = ((c0 >= 0) & (c0 <= size - 1)).astype(jnp.float32)
-        v1 = ((c0 + 1 >= 0) & (c0 + 1 <= size - 1)).astype(jnp.float32)
-        ws = []
-        for i in (0, 1):
-            ws.append(jnp.where(base + i == c0, (1 - frac) * v0,
-                                jnp.where(base + i == c0 + 1, frac * v1, 0.0)))
-        return ws  # two arrays [B, HW, K, G]
-
-    wy = axis_w(y0p, by, fyp, H)
-    wx = axis_w(x0p, bx, fxp, W)
-    if mask is not None:
-        m = mask.astype(jnp.float32).reshape(B, H * W, G, K)
-        m = m.transpose(0, 1, 3, 2)
-        wy = [w * m for w in wy]                   # fold modulation into wy
-    wgrid = jnp.stack([jnp.stack([wy[0] * wx[0], wy[0] * wx[1]], axis=-1),
-                       jnp.stack([wy[1] * wx[0], wy[1] * wx[1]], axis=-1)],
-                      axis=-2)                     # [B, HW, K, G, 2, 2]
-    # HIGHEST: the 2x2 corner blend is sampling math, keep exact f32
-    samp = jnp.einsum("bpkgij,bpkgijc->bpkgc", wgrid.astype(jnp.float32),
-                      slab.astype(jnp.float32),
-                      precision=lax.Precision.HIGHEST).astype(x.dtype)
-
-    samp = samp.reshape(B, H * W, K * Cin)
     wmat = weight.reshape(K * Cin, -1).astype(x.dtype)
-    out = jnp.einsum("bpk,ko->bpo", samp, wmat,
-                     preferred_element_type=jnp.float32,
-                     precision=conv_precision).astype(x.dtype)
+
+    def slab_gather(args):
+        """Gather + bilinear blend + conv matmul over [B, P, K, G] samples."""
+        y0c, x0c, fyc, fxc, mc = args
+        P = y0c.shape[1]
+        by = jnp.clip(y0c, 0, max(H - 2, 0))
+        bx = jnp.clip(x0c, 0, max(W - 2, 0))
+        gids = jnp.broadcast_to(
+            jnp.arange(G, dtype=jnp.int32)[None, None, None, :], y0c.shape)
+        starts = jnp.stack([by, bx, gids], axis=-1).reshape(B, P * K * G, 3)
+
+        dnums = lax.GatherDimensionNumbers(
+            offset_dims=(2, 3, 4),        # slab dims (y, x, Cg) in the output
+            collapsed_slice_dims=(3,),    # the size-1 group slice
+            start_index_map=(1, 2, 3),    # (y, x, g)
+            operand_batching_dims=(0,),
+            start_indices_batching_dims=(0,),
+        )
+        slab = lax.gather(xg, starts, dnums, slice_sizes=(1, 2, 2, 1, Cg),
+                          mode=lax.GatherScatterMode.CLIP)
+        slab = slab.reshape(B, P, K, G, 2, 2, Cg)
+
+        # per-slab-position bilinear weights: slab rows are (by, by+1); row i
+        # is corner y0 (weight (1-fy)) iff by+i == y0, corner y0+1 (weight
+        # fy) iff by+i == y0+1, else 0 — validity folded in.
+        def axis_w(c0, base, frac, size):
+            v0 = ((c0 >= 0) & (c0 <= size - 1)).astype(jnp.float32)
+            v1 = ((c0 + 1 >= 0) & (c0 + 1 <= size - 1)).astype(jnp.float32)
+            ws = []
+            for i in (0, 1):
+                ws.append(jnp.where(base + i == c0, (1 - frac) * v0,
+                                    jnp.where(base + i == c0 + 1,
+                                              frac * v1, 0.0)))
+            return ws  # two arrays [B, P, K, G]
+
+        wy = axis_w(y0c, by, fyc, H)
+        wx = axis_w(x0c, bx, fxc, W)
+        if mc is not None:
+            wy = [w * mc for w in wy]              # fold modulation into wy
+        wgrid = jnp.stack(
+            [jnp.stack([wy[0] * wx[0], wy[0] * wx[1]], axis=-1),
+             jnp.stack([wy[1] * wx[0], wy[1] * wx[1]], axis=-1)],
+            axis=-2)                               # [B, P, K, G, 2, 2]
+        # HIGHEST: the 2x2 corner blend is sampling math, keep exact f32
+        samp = jnp.einsum("bpkgij,bpkgijc->bpkgc", wgrid.astype(jnp.float32),
+                          slab.astype(jnp.float32),
+                          precision=lax.Precision.HIGHEST).astype(x.dtype)
+        samp = samp.reshape(B, P, K * Cin)
+        return jnp.einsum("bpk,ko->bpo", samp, wmat,
+                          preferred_element_type=jnp.float32,
+                          precision=conv_precision).astype(x.dtype)
+
+    # The slab's XLA layout pads Cg (8 lanes) to the 128-lane tile — a 16x
+    # HBM expansion that reaches 11+ GB for batch-5 128^2 maps, allocated
+    # even when the slab branch is the DEAD side of the window-guard
+    # lax.cond. Above a padded-temp budget, run the gather over whole-row
+    # chunks with lax.map: memory drops to one chunk, and the chunked form
+    # only ever executes on guard misses (or explicit window_radius=0 runs
+    # at inference scale), where latency is secondary to exactness.
+    args = (y0p, x0p, fyp, fxp, mask_t)
+    padded_mb = B * H * W * K * G * 4 * 128 * 6 // (1 << 20)
+    chunks = 1
+    while padded_mb // chunks > _CHUNK_BUDGET_MB and chunks < H:
+        chunks *= 2
+    while H % chunks:                              # keep whole rows per chunk
+        chunks //= 2
+    if chunks > 1:
+        def to_chunks(t):
+            if t is None:
+                return None
+            t = t.reshape((B, chunks, H * W // chunks) + t.shape[2:])
+            return jnp.moveaxis(t, 1, 0)
+
+        mapped = lax.map(slab_gather,
+                         tuple(to_chunks(t) for t in args))
+        out = jnp.moveaxis(mapped, 0, 1).reshape(B, H * W, -1)
+    else:
+        out = slab_gather(args)
+
     if bias is not None:
         out = out + bias
     return out.reshape(B, H, W, -1)

@@ -132,3 +132,26 @@ def test_gpemsr_forward_x8(rng):
     sr, ref = m.apply(params, x)
     assert sr.shape == (1, 64, 64, 1)
     assert ref.shape == (1, 5, 64, 64, 1)
+
+
+def test_gpemsr_vggmask_kernel_route(rng):
+    """Full forward with the fused VGG-mask Pallas kernel (interpret mode)
+    == the unfused XLA path, including the in-model parameter plumbing."""
+    from gpemsr_tpu.models.gpemsr import GPEMSR
+    from gpemsr_tpu.ops import vggmask_pallas
+
+    cfg = GPEMSRConfig(nf=16, groups=4, front_RBs=1, back_RBs=1,
+                       ref_fusion_feat_RBs=1, scale=16, prior=tiny_prior(16))
+    m = GPEMSR(cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 5, 8, 8, 1)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    sr_ref = m.apply(params, x)[0]
+
+    old = vggmask_pallas.INTERPRET
+    vggmask_pallas.INTERPRET = True
+    try:
+        sr_k = m.apply(params, x)[0]
+    finally:
+        vggmask_pallas.INTERPRET = old
+    np.testing.assert_allclose(np.asarray(sr_k), np.asarray(sr_ref),
+                               atol=2e-4)

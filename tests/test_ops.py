@@ -338,3 +338,82 @@ def test_spynet_flow_warp_routing(rng):
                         padding_mode="border")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+
+
+def test_dcn_gather_chunked_matches_unchunked(rng):
+    """Whole-row chunking of the slab-gather path (HBM-padding guard) is a
+    pure memory reshape — outputs must be identical."""
+    from gpemsr_tpu.ops import dcn as dcn_mod
+
+    B, H, W, Cin, G = 2, 8, 8, 16, 4
+    K = 9
+    x = rng.standard_normal((B, H, W, Cin), dtype=np.float32)
+    off = (rng.standard_normal((B, H, W, 2 * G * K)) * 2).astype(np.float32)
+    mask = 1 / (1 + np.exp(-rng.standard_normal((B, H, W, G * K))
+                           .astype(np.float32)))
+    w = (rng.standard_normal((K, Cin, 8)) * 0.1).astype(np.float32)
+    args = [jnp.asarray(t) for t in (x, off, mask, w)]
+
+    ref = deform_conv2d(*args, deformable_groups=G, dense_threshold=0)
+    old = dcn_mod._CHUNK_BUDGET_MB
+    dcn_mod._CHUNK_BUDGET_MB = 0          # force maximal chunking
+    try:
+        chunked = deform_conv2d(*args, deformable_groups=G, dense_threshold=0)
+    finally:
+        dcn_mod._CHUNK_BUDGET_MB = old
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(ref),
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_vgg_patch_cosine_kernel_matches_xla(rng, dtype):
+    """Fused Pallas patch-cosine (interpret mode) == the unfused
+    conv/conv/pool formulation used off-TPU."""
+    import flax.linen as nn
+    import jax
+    from jax import lax
+
+    from gpemsr_tpu.ops import vggmask_pallas
+    from gpemsr_tpu.ops.vggmask_pallas import vgg_patch_cosine
+
+    B, H, W, C = 2, 32, 128, 64
+    img_a = rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32)
+    img_b = rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32)
+    k1 = (rng.standard_normal((3, 3, 3, C)) * 0.1).astype(np.float32)
+    b1 = (rng.standard_normal((C,)) * 0.1).astype(np.float32)
+    k2 = (rng.standard_normal((3, 3, C, C)) * 0.05).astype(np.float32)
+    b2 = (rng.standard_normal((C,)) * 0.1).astype(np.float32)
+
+    def relu12(x):
+        x3 = jnp.broadcast_to(x, x.shape[:-1] + (3,))
+        h = lax.conv_general_dilated(
+            x3, jnp.asarray(k1), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        h = jax.nn.relu(h + b1)
+        h = lax.conv_general_dilated(
+            h, jnp.asarray(k2), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jax.nn.relu(h + b2)
+
+    def patch_sums(t):
+        return jnp.sum(nn.avg_pool(t, (16, 16), strides=(16, 16)),
+                       axis=-1) * 256.0
+
+    va, vb = relu12(jnp.asarray(img_a)), relu12(jnp.asarray(img_b))
+    sim_ref = patch_sums(va * vb) / (
+        jnp.sqrt(patch_sums(va * va)) * jnp.sqrt(patch_sums(vb * vb)) + 1e-12)
+
+    dt = jnp.dtype(dtype)
+    old = vggmask_pallas.INTERPRET
+    vggmask_pallas.INTERPRET = True
+    try:
+        sim = vgg_patch_cosine(jnp.asarray(img_a).astype(dt),
+                               jnp.asarray(img_b).astype(dt),
+                               jnp.asarray(k1).astype(dt),
+                               jnp.asarray(b1).astype(dt),
+                               jnp.asarray(k2).astype(dt),
+                               jnp.asarray(b2).astype(dt))
+    finally:
+        vggmask_pallas.INTERPRET = old
+    np.testing.assert_allclose(np.asarray(sim), np.asarray(sim_ref),
+                               atol=2e-4 if dtype == "float32" else 5e-2)
