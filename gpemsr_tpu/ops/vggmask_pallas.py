@@ -123,8 +123,8 @@ def _patch_sums_pallas(r1a, r1b, w2t, b2, W, interpret):
         functools.partial(_kernel, W=W, GW=GW),
         grid=(B, GH),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((C, 9 * C), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 128), lambda b, t: (0, 0),
