@@ -14,6 +14,7 @@
 #include <functional>
 #include <cmath>
 #include <limits>
+#include <memory>
 #include <queue>
 #include <unordered_map>
 #include <vector>
@@ -218,7 +219,12 @@ static const int QHB = 256;   // quantile histogram bins (waterz discretizes)
 struct EdgeStat {
   double sum = 0; uint64_t count = 0;
   float mx = -1e30f, mn = 1e30f;
-  std::vector<uint32_t> histo;   // QHB affinity bins; built for scorer 3 only
+  // QHB affinity bins; built for scorer 3 only. shared_ptr so the two
+  // symmetric adjacency copies of an edge share ONE histogram instead of
+  // duplicating ~1 KB per copy and deep-copying on every merge re-sync
+  // (the symmetric copies of a pair are always written together, and
+  // distinct pairs never share a pointer, so in-place += never aliases).
+  std::shared_ptr<std::vector<uint32_t>> histo;
 };
 
 struct UF {
@@ -280,11 +286,12 @@ void agglomerate(const uint64_t* frags, const float* affs,
           if (av > e.mx) e.mx = av;
           if (av < e.mn) e.mn = av;
           if (scorer == 3) {
-            if (e.histo.empty()) e.histo.assign(QHB, 0);
+            if (!e.histo)
+              e.histo = std::make_shared<std::vector<uint32_t>>(QHB, 0);
             int hb = (int)(av * QHB);
             if (hb < 0) hb = 0;
             if (hb >= QHB) hb = QHB - 1;
-            e.histo[hb] += 1;
+            (*e.histo)[hb] += 1;
           }
         }
   }
@@ -311,7 +318,7 @@ void agglomerate(const uint64_t* frags, const float* affs,
         uint64_t k = (uint64_t)((quantile / 100.0) * (double)(e.count - 1));
         uint64_t c = 0;
         for (int b = 0; b < QHB; b++) {
-          c += e.histo.empty() ? 0 : e.histo[b];
+          c += e.histo ? (*e.histo)[b] : 0;
           if (c > k) return 1.0 - ((b + 0.5) / QHB);
         }
         return 0.0;
@@ -365,9 +372,11 @@ void agglomerate(const uint64_t* frags, const float* affs,
       tgt.count += nb.second.count;
       if (nb.second.mx > tgt.mx) tgt.mx = nb.second.mx;
       if (nb.second.mn < tgt.mn) tgt.mn = nb.second.mn;
-      if (scorer == 3 && !nb.second.histo.empty()) {
-        if (tgt.histo.empty()) tgt.histo.assign(QHB, 0);
-        for (int b = 0; b < QHB; b++) tgt.histo[b] += nb.second.histo[b];
+      if (scorer == 3 && nb.second.histo) {
+        if (!tgt.histo)
+          tgt.histo = std::make_shared<std::vector<uint32_t>>(QHB, 0);
+        for (int b = 0; b < QHB; b++)
+          (*tgt.histo)[b] += (*nb.second.histo)[b];
       }
       adj[rc][ra] = tgt;   // keep symmetric copy in sync
       adj[rc].erase(rb);

@@ -182,7 +182,6 @@ def _deform_conv2d_xla(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
         return t.reshape(B, H * W, G, K).transpose(0, 1, 3, 2)
 
     y0p, x0p, fyp, fxp = prep(y0i), prep(x0i), prep(fy), prep(fx)
-    N = H * W * K  # samples per (batch, group)
 
     if H * W <= dense_threshold:
         # Dense one-hot bilinear sampling: samp = W_d @ x with W_d built by

@@ -132,9 +132,11 @@ class StageRunner:
             epoch += 1
         step = min(step, t.niter)
         # final checkpoint: without this, niter not divisible by
-        # save_checkpoint_freq silently drops the tail of training
-        if step > 0 and (step % self.cfg.save_checkpoint_freq != 0
-                         or ckpt.latest_step(self.ckpt_dir) != step):
+        # save_checkpoint_freq silently drops the tail of training. Keyed
+        # on what is actually on disk so a no-op restart of a completed
+        # run doesn't rewrite (rmtree+rename race under multi-host) an
+        # identical checkpoint.
+        if step > 0 and ckpt.latest_step(self.ckpt_dir) != step:
             ckpt.save(self.ckpt_dir, step, self.state_pack(),
                       keep=self.cfg.keep_checkpoints)
         self.logger.info("training done at step %d", step)

@@ -15,35 +15,22 @@ Usage: python scripts/bench_dcn.py [--bf16]
 
 from __future__ import annotations
 
+import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gpemsr_tpu.ops.dcn import deform_conv2d
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from _bench_util import timed_chain  # noqa: E402
+from gpemsr_tpu.ops.dcn import deform_conv2d  # noqa: E402
 
 B, H, W, Cin = 5, 64, 64, 64
 G, K = 8, 9
 Cg = Cin // G
 Q = H * W
-
-
-def timed_chain(step, init, iters=8, reps=3):
-    @jax.jit
-    def chained(c0):
-        return jax.lax.fori_loop(0, iters, lambda i, c: step(c), c0)
-
-    out = chained(init)
-    _ = float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = chained(init)
-        _ = float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
 
 
 def main():

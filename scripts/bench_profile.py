@@ -25,31 +25,17 @@ import jax.numpy as jnp
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from _bench_util import timed_chain  # noqa: E402
 from __graft_entry__ import _flagship_cfg
 from gpemsr_tpu.models.gpemsr import GPEMSR
 from gpemsr_tpu.utils.precision import bf16_inference
-
-
-def timed_chain(step, init, iters, reps=3):
-    @jax.jit
-    def chained(c0):
-        return jax.lax.fori_loop(0, iters, lambda i, c: step(c), c0)
-
-    out = chained(init)
-    _ = float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = chained(init)
-        _ = float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
 
 
 def main():

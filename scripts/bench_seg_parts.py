@@ -13,8 +13,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
+
+from _bench_util import timed_chain  # noqa: E402
 
 
 def main():
@@ -43,22 +46,8 @@ def main():
     else:
         apply_fn = lambda x: model.apply(variables, x)   # noqa: E731
 
-    def timed_chain(step, init, reps=3):
-        @jax.jit
-        def chained(c0):
-            return jax.lax.fori_loop(0, iters, lambda i, c: step(c), c0)
-
-        out = chained(init)
-        _ = float(jnp.sum(out.astype(jnp.float32)))
-        ts = []
-        for _r in range(reps):
-            t0 = time.perf_counter()
-            out = chained(init)
-            _ = float(jnp.sum(out.astype(jnp.float32)))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    overhead = timed_chain(lambda c: c + 1.0, jnp.ones((8, 128), jnp.float32))
+    overhead = timed_chain(lambda c: c + 1.0, jnp.ones((8, 128),
+                                                       jnp.float32), iters)
 
     rng = np.random.default_rng(0)
     crop = jnp.asarray(rng.uniform(0, 1, (batch, 18, 160, 160, 1))
@@ -68,7 +57,8 @@ def main():
         x = crop + 1e-6 * c.astype(jnp.float32).mean()
         return apply_fn(x).astype(jnp.float32)
 
-    t = (timed_chain(step, jnp.zeros((batch, 18, 160, 160, 3), jnp.float32))
+    t = (timed_chain(step, jnp.zeros((batch, 18, 160, 160, 3), jnp.float32),
+                     iters)
          - overhead) / iters
     n_crops = 5 * 13 * 13
     n_steps = -(-n_crops // batch)

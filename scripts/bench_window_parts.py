@@ -24,9 +24,9 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
@@ -37,26 +37,11 @@ cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from _bench_util import timed_chain  # noqa: E402
 from __graft_entry__ import _flagship_cfg
 from gpemsr_tpu.models.gpemsr import GPEMSR
 from gpemsr_tpu.ops.dcn import deform_conv2d
 from gpemsr_tpu.utils.precision import bf16_inference, cast_floats
-
-
-def timed_chain(step, init, iters, reps=3):
-    @jax.jit
-    def chained(c0):
-        return jax.lax.fori_loop(0, iters, lambda i, c: step(c), c0)
-
-    out = chained(init)
-    _ = float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = chained(init)
-        _ = float(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).sum())
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
 
 
 def main():

@@ -115,6 +115,11 @@ def main():
                    help="starting index for volume names (vol{k})")
     args = p.parse_args()
 
+    if args.train_only and args.vol_offset == 0:
+        p.error("--train-only requires --vol-offset > 0 (vol0 and the "
+                "seg-net h5 volumes already exist; regenerating them would "
+                "silently overwrite the baseline's training data)")
+
     import h5py
 
     rng = np.random.default_rng(args.seed)
@@ -148,8 +153,9 @@ def main():
         if os.path.exists(txt):
             with open(txt) as f:
                 existing = [l.strip() for l in f if l.strip()]
+        merged = existing + [n for n in names if n not in existing]
         with open(txt, "w") as f:
-            f.write("\n".join(existing + names) + "\n")
+            f.write("\n".join(merged) + "\n")
         print(f"appended {names} -> {txt}")
         return
 
