@@ -24,9 +24,14 @@ def ensure_cpu_devices(n: int) -> None:
     import jax
     from jax._src import xla_bridge as xb
 
-    devs = jax.devices()
-    if devs[0].platform == "cpu" and len(devs) >= n:
-        return
+    # Probe only ALREADY-INITIALIZED backends: jax.devices() on a fresh
+    # process would instantiate the default backend — the eagerly-registered
+    # TPU plugin — whose client creation blocks on the remote tunnel (and
+    # hangs indefinitely when the tunnel is down, observed 2026-08-17).
+    if xb._backends:
+        devs = jax.devices()
+        if devs[0].platform == "cpu" and len(devs) >= n:
+            return
     xb._clear_backends()
     xb.get_backend.cache_clear()       # _clear_backends misses this memo
     try:
