@@ -30,7 +30,9 @@ final line simply overrides it when reached (round-2 lesson: BENCH_r02 was
 rc=124 with nothing printed).
 Flags: --f32 (disable bf16), --per-window (reference-style full forward per
 section), --batch=N (sections processed concurrently), --iters=N, --x8
-(bench the x8 model; metric name changes accordingly).
+(bench the x8 model; metric name changes accordingly), --defer-guards
+(hoist the per-op windowed-kernel exactness conds into one whole-forward
+cond — ops/guard.py).
 """
 
 from __future__ import annotations
@@ -104,6 +106,11 @@ def main():
         win_fn = lambda ft, x: model.apply(        # noqa: E731
             params, x, frame_feats=ft)[0]
         full_fn = lambda x: model.apply(params, x)[0]   # noqa: E731
+
+    if "--defer-guards" in sys.argv:
+        from gpemsr_tpu.ops import guard
+        win_fn = guard.with_deferred_guards(win_fn)
+        full_fn = guard.with_deferred_guards(full_fn)
 
     mpix = batch * (h * scale) * (w * scale) / 1e6
     metric = f"sr_x{scale}_inference_throughput"

@@ -23,26 +23,35 @@ def window_indices(z: int, num_z: int, n_frames: int = 5) -> list[int]:
 
 
 def sr_stack_streaming(model, params, lr_stack: np.ndarray, n_frames: int = 5,
-                       out_dir: str | None = None) -> np.ndarray:
+                       out_dir: str | None = None,
+                       defer_guards: bool = False) -> np.ndarray:
     """Streaming z-stack SR: per-frame features (front trunk + prior bank +
     VGG mask + alignment pyramid — the dominant ~60% of the forward) are
     computed once per SLICE and reused by every window containing it; only
     the window-level alignment/fusion/upsampling runs per output section.
     Identical outputs to the per-window path (the reference recomputes
-    per-frame work 5x)."""
+    per-frame work 5x).
+
+    defer_guards=True hoists the per-op windowed-kernel exactness conds into
+    one whole-forward cond (ops/guard.py) — same outputs, fewer fusion
+    barriers on TPU."""
     import jax
+
+    from gpemsr_tpu.ops import guard
 
     Z = lr_stack.shape[0]
     stack_dev = jnp.asarray(lr_stack)
+
+    def _window(feats, lq):
+        sr, _ = model.apply(params, lq, frame_feats=feats)
+        return sr
 
     @jax.jit
     def frame_feats(frame):          # [h, w, 1] -> per-frame pyramid
         return model.apply(params, frame[None, None], features_only=True)
 
-    @jax.jit
-    def window(feats, lq):
-        sr, _ = model.apply(params, lq, frame_feats=feats)
-        return sr
+    window = jax.jit(guard.with_deferred_guards(_window)
+                     if defer_guards else _window)
 
     per_slice = [frame_feats(stack_dev[z]) for z in range(Z)]
 

@@ -66,9 +66,24 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
     """
     B, H, W, Cin = x.shape
     if window_radius > 0 and H * W > dense_threshold:
-        from gpemsr_tpu.ops import dcn_pallas
-        if jax.default_backend() == "tpu" or dcn_pallas.INTERPRET:
+        from gpemsr_tpu.ops import dcn_pallas, guard
+        if ((jax.default_backend() == "tpu" or dcn_pallas.INTERPRET)
+                and not guard.forcing_exact()):
             sd = x.dtype if sample_dtype is None else sample_dtype
+            if guard.deferring():
+                # deferred-guard inference (ops/guard.py): run the windowed
+                # kernel unconditionally, record the exactness predicate; the
+                # caller's single lax.cond recomputes everything exactly on a
+                # miss. Bypasses the custom_vjp — inference only.
+                guard.record(dcn_pallas.window_ok(
+                    offset, mask, kernel_size=kernel_size, padding=padding,
+                    deformable_groups=deformable_groups,
+                    radius=window_radius, H=H, W=W))
+                out = dcn_pallas.deform_conv2d_windowed(
+                    x, offset, mask, weight, bias, kernel_size=kernel_size,
+                    padding=padding, deformable_groups=deformable_groups,
+                    radius=window_radius, sample_dtype=sd)
+                return out
             return _deform_conv2d_windowed_guarded(
                 kernel_size, padding, deformable_groups, window_radius,
                 conv_precision, sd, x, offset, mask, weight, bias)

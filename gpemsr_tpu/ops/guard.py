@@ -1,0 +1,105 @@
+"""Deferred exactness guards for windowed Pallas kernels (inference only).
+
+The windowed DCN (`ops/dcn.py`) and flow warp (`ops/warp_pallas.py`) are
+exact only when every non-zero bilinear corner lies inside their displacement
+window, so by default each call wraps itself in a `lax.cond` choosing between
+the Pallas kernel and the exact gather path. A full-section GPEMSR window
+forward contains ~8 such calls (6 SpyNet warp levels + 2 DCN levels), and on
+TPU each cond is a fusion barrier plus dispatch overhead — a device trace
+measured ~6 ms/section of pure cond dispatch (docs/STATUS.md).
+
+This module lets an INFERENCE caller hoist all of those conds into ONE:
+
+    fast_or_exact = guard.with_deferred_guards(lambda lq: model.apply(...))
+    sr = jax.jit(fast_or_exact)(lq)
+
+Inside the wrapper the windowed kernels run unconditionally (straight-line,
+fusable) while their exactness predicates are collected; a single lax.cond
+then either keeps the fast result or recomputes the whole forward with every
+windowed dispatch forced to the exact gather path. Semantics are identical
+to the per-call guards for ANY offsets/flows; only the failure granularity
+changes (one out-of-window sample recomputes the whole wrapped fn instead of
+one op — guard misses are rare for trained models, and exactness is what
+matters there).
+
+Deferred mode is inference-only: it bypasses the custom_vjp that makes the
+per-call guarded DCN differentiable. Training code paths never enter
+`collect()`, so they are unaffected.
+
+The context flags are plain module globals: tracing is single-threaded here,
+and the flags only matter at trace time (the traced program is fixed
+afterwards).
+"""
+
+from __future__ import annotations
+
+import contextlib
+from functools import reduce
+
+import jax.numpy as jnp
+from jax import lax
+
+_COLLECT_STACK: list[list] = []
+_FORCE_EXACT = 0
+
+
+def deferring() -> bool:
+    """True while tracing inside a collect() context (and not force_exact)."""
+    return bool(_COLLECT_STACK) and not _FORCE_EXACT
+
+
+def forcing_exact() -> bool:
+    """True while tracing the exact-recompute branch."""
+    return bool(_FORCE_EXACT)
+
+
+def record(ok) -> None:
+    """Called by windowed dispatches in deferred mode with their predicate."""
+    _COLLECT_STACK[-1].append(ok)
+
+
+@contextlib.contextmanager
+def collect():
+    oks: list = []
+    _COLLECT_STACK.append(oks)
+    try:
+        yield oks
+    finally:
+        _COLLECT_STACK.pop()
+
+
+@contextlib.contextmanager
+def force_exact():
+    global _FORCE_EXACT
+    _FORCE_EXACT += 1
+    try:
+        yield
+    finally:
+        _FORCE_EXACT -= 1
+
+
+def all_ok(oks):
+    return reduce(jnp.logical_and, oks, jnp.asarray(True))
+
+
+def with_deferred_guards(fn):
+    """Wrap an inference fn so its windowed kernels run unguarded, with ONE
+    lax.cond swapping in a full exact recompute when any guard failed.
+
+    `fn` must be a pure jax function of array pytrees (e.g. a closed-over
+    `model.apply`). Wrap BEFORE `jax.jit` so the contexts are active during
+    tracing. If `fn` contains no windowed dispatches the wrapper is a no-op.
+    """
+    def wrapped(*args):
+        with collect() as oks:
+            fast = fn(*args)
+        if not oks:
+            return fast
+
+        def slow(a):
+            with force_exact():
+                return fn(*a)
+
+        return lax.cond(all_ok(oks), lambda a: fast, slow, args)
+
+    return wrapped

@@ -170,6 +170,13 @@ def flow_warp_windowed(x, flow, radius: int = 8, interpret=None):
         from gpemsr_tpu.ops.warp import flow_warp
         return flow_warp(xx, ff, padding_mode="border")
 
+    from gpemsr_tpu.ops import guard
+    if guard.deferring():
+        # deferred-guard inference (ops/guard.py): no per-call cond; the
+        # caller recomputes the whole wrapped fn exactly on any guard miss
+        guard.record(warp_window_ok(flow, H, W, radius))
+        return _flow_warp_pallas(x, flow, radius, interpret)
+
     ok = warp_window_ok(flow, H, W, radius)
     return lax.cond(ok, _pallas, _gather, (x, flow))
 
@@ -178,9 +185,11 @@ def spynet_flow_warp(x, flow, radius: int = 8):
     """The warp SpyNet's pyramid loop calls: Pallas windowed kernel on TPU
     for lane-aligned levels (W multiple of 128, H of 8), slab gather
     otherwise. Semantics always == flow_warp(padding_mode='border')."""
+    from gpemsr_tpu.ops import guard
     B, H, W, C = x.shape
     use_pallas = (W % 128 == 0 and H % 8 == 0 and
-                  (jax.default_backend() == "tpu" or INTERPRET))
+                  (jax.default_backend() == "tpu" or INTERPRET) and
+                  not guard.forcing_exact())
     if use_pallas:
         return flow_warp_windowed(x, flow, radius=radius)
     from gpemsr_tpu.ops.warp import flow_warp

@@ -35,6 +35,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("-opt", type=str, required=True)
     p.add_argument("--out", type=str, default=None, help="output dir override")
+    p.add_argument("--defer-guards", action="store_true",
+                   help="one whole-forward exactness cond instead of one per "
+                        "windowed kernel (ops/guard.py; same outputs)")
     args = p.parse_args()
     cfg = load_yaml(args.opt, ExperimentConfig)
 
@@ -60,7 +63,7 @@ def main():
     # streaming: per-frame features computed once per slice and shared
     # across the 5 windows containing it (bit-identical, ~2x faster)
     sr_stack_streaming(model, params, stack, n_frames=cfg.network.nframes,
-                       out_dir=out_dir)
+                       out_dir=out_dir, defer_guards=args.defer_guards)
     print(f"wrote {stack.shape[0]} SR sections to {out_dir}")
 
 

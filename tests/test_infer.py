@@ -165,3 +165,31 @@ def test_tiled_infer_params_argument(rng):
     bm = tiled_infer(lambda p, c: valid_apply(c) * p["s"], mvol, mproto,
                      params=scale)
     np.testing.assert_allclose(am, bm, atol=1e-5)
+
+
+def test_streaming_sr_defer_guards_matches(rng):
+    """sr_stack_streaming(defer_guards=True) == default per-op-guarded
+    streaming, with the windowed DCN actually running (interpret mode,
+    dense_threshold=32 so the 8x8 L1 maps take the Pallas route)."""
+    from gpemsr_tpu.core.config import GPEMSRConfig
+    from gpemsr_tpu.infer.sr import sr_stack_streaming
+    from gpemsr_tpu.models.gpemsr import GPEMSR
+    from gpemsr_tpu.ops import dcn_pallas
+    from tests.test_models import tiny_prior
+
+    cfg = GPEMSRConfig(nf=16, groups=4, front_RBs=1, back_RBs=1,
+                       ref_fusion_feat_RBs=1, scale=16, prior=tiny_prior(16),
+                       dcn_dense_threshold=32, dcn_window_radius=4)
+    model = GPEMSR(cfg)
+    stack = rng.uniform(0, 1, (6, 8, 8, 1)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 5, 8, 8, 1), jnp.float32))
+    old = dcn_pallas.INTERPRET
+    dcn_pallas.INTERPRET = True
+    try:
+        a = sr_stack_streaming(model, params, stack)
+        b = sr_stack_streaming(model, params, stack, defer_guards=True)
+    finally:
+        dcn_pallas.INTERPRET = old
+    np.testing.assert_allclose(a.astype(int), b.astype(int), atol=1)
+    assert np.mean(a != b) < 0.01
