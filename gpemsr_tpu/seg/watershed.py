@@ -7,6 +7,8 @@ unique fragment ids. Backed by the native core (seg/native.py)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from gpemsr_tpu.seg import native
@@ -40,17 +42,49 @@ def get_seeds(boundary: np.ndarray, method: str = "maxima_distance",
     raise ValueError(f"unknown seed method {method}")
 
 
-def watershed(affs: np.ndarray, seed_method: str = "maxima_distance"
-              ) -> np.ndarray:
-    """affs [3, Z, Y, X] -> uint64 fragments [Z, Y, X]."""
+def watershed(affs: np.ndarray, seed_method: str = "maxima_distance",
+              workers: int | None = None) -> np.ndarray:
+    """affs [3, Z, Y, X] -> uint64 fragments [Z, Y, X].
+
+    Slices are independent (per-z seeds + 2-D flood with globally unique id
+    offsets), so they run on a thread pool — the native calls release the
+    GIL. Results are identical for any `workers` (default: cpu count): seed
+    ids per slice are a deterministic offset of the single-slice labels, and
+    each flood only reads its own slice."""
+    from concurrent.futures import ThreadPoolExecutor
+
     affs_xy = 1.0 - 0.5 * (affs[1] + affs[2])
     depth = affs_xy.shape[0]
     fragments = np.zeros(affs_xy.shape, np.uint64)
-    next_id = 1
-    for z in range(depth):
-        seeds, num = get_seeds(affs_xy[z], method=seed_method, next_id=next_id)
-        fragments[z] = native.cwatershed2d(affs_xy[z], seeds).astype(np.uint64)
-        next_id += num
+    if workers is None:
+        workers = min(depth, os.cpu_count() or 1)
+
+    def base_seeds(z):
+        # seeds with the slice-local next_id=1 walk; the global offset (the
+        # sequential next_id walk minus that base) is applied afterwards,
+        # once the counts of all earlier slices are known
+        return get_seeds(affs_xy[z], method=seed_method, next_id=1)
+
+    def flood(z, seeds, next_id):
+        shifted = np.where(seeds > 0, seeds + (next_id - 1), 0).astype(
+            np.int32)
+        fragments[z] = native.cwatershed2d(affs_xy[z], shifted).astype(
+            np.uint64)
+
+    if workers <= 1:
+        next_id = 1
+        for z in range(depth):
+            seeds, num = base_seeds(z)
+            flood(z, seeds, next_id)
+            next_id += num
+        return fragments
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        seeded = list(pool.map(base_seeds, range(depth)))
+        next_ids = 1 + np.cumsum([0] + [num for _, num in seeded[:-1]])
+        list(pool.map(lambda zso: flood(*zso),
+                      [(z, seeded[z][0], int(next_ids[z]))
+                       for z in range(depth)]))
     return fragments
 
 

@@ -271,3 +271,14 @@ def test_gen_seeds_and_erosion():
     assert set(np.unique(er)) <= {0, 5, 7, 9}
     assert (er == 5).sum() < (labels == 5).sum()     # shrank
     assert er[4, 4] == 0                              # corner eroded away
+
+
+def test_watershed_worker_invariance():
+    """Fragments are identical for any thread-pool size (slices independent,
+    deterministic id offsets) and for both seed methods."""
+    rng = np.random.default_rng(7)
+    affs = rng.uniform(0, 1, (3, 4, 32, 32)).astype(np.float32)
+    for method in ("maxima_distance", "grid"):
+        f1 = watershed(affs, seed_method=method, workers=1)
+        f3 = watershed(affs, seed_method=method, workers=3)
+        np.testing.assert_array_equal(f1, f3)
