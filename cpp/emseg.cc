@@ -113,39 +113,46 @@ int label2d(const uint8_t* mask, int h, int w, int conn, int32_t* out) {
 // ---------------------------------------------------------------------------
 
 void regmax2d(const float* img, int h, int w, int conn, uint8_t* out) {
-  const int dx8[] = {1, -1, 0, 0, 1, 1, -1, -1}, dy8[] = {0, 0, 1, -1, 1, -1, 1, -1};
+  // 1-px -inf border: neighbor walks become pure index offsets with no
+  // bounds checks or div/mod (border never compares greater and its cand
+  // bit is pre-cleared, so plateau BFS can't enter it).
+  const int64_t wp = w + 2, np = wp * (h + 2);
+  std::vector<float> pimg((size_t)np, -std::numeric_limits<float>::infinity());
+  std::vector<uint8_t> cand((size_t)np, 0);
+  for (int y = 0; y < h; y++) {
+    std::memcpy(&pimg[(size_t)(y + 1) * wp + 1], img + (size_t)y * w,
+                sizeof(float) * w);
+    std::memset(&cand[(size_t)(y + 1) * wp + 1], 1, w);
+  }
+  const int64_t off8[] = {1, -1, wp, -wp, wp + 1, -wp + 1, wp - 1, -wp - 1};
   int nn = conn == 8 ? 8 : 4;
-  std::vector<uint8_t> cand((size_t)h * w, 1);
   // BFS from every pixel that has a strictly greater neighbour: its plateau
   // (equal-valued connected set) is not a maximum.
   std::vector<int64_t> stack;
   for (int y = 0; y < h; y++) {
     for (int x = 0; x < w; x++) {
-      int64_t p = (int64_t)y * w + x;
+      int64_t p = (int64_t)(y + 1) * wp + x + 1;
       if (!cand[p]) continue;
+      float v = pimg[p];
       bool higher = false;
-      for (int k = 0; k < nn; k++) {
-        int ny = y + dy8[k], nx = x + dx8[k];
-        if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
-        if (img[(int64_t)ny * w + nx] > img[p]) { higher = true; break; }
-      }
+      for (int k = 0; k < nn; k++)
+        if (pimg[p + off8[k]] > v) { higher = true; break; }
       if (!higher) continue;
       // kill the whole plateau reachable at equal value
       cand[p] = 0;
       stack.push_back(p);
       while (!stack.empty()) {
         int64_t q = stack.back(); stack.pop_back();
-        int qy = q / w, qx = q % w;
+        float qv = pimg[q];
         for (int k = 0; k < nn; k++) {
-          int ny = qy + dy8[k], nx = qx + dx8[k];
-          if (ny < 0 || ny >= h || nx < 0 || nx >= w) continue;
-          int64_t r = (int64_t)ny * w + nx;
-          if (cand[r] && img[r] == img[q]) { cand[r] = 0; stack.push_back(r); }
+          int64_t r = q + off8[k];
+          if (cand[r] && pimg[r] == qv) { cand[r] = 0; stack.push_back(r); }
         }
       }
     }
   }
-  std::memcpy(out, cand.data(), (size_t)h * w);
+  for (int y = 0; y < h; y++)
+    std::memcpy(out + (size_t)y * w, &cand[(size_t)(y + 1) * wp + 1], w);
 }
 
 // ---------------------------------------------------------------------------
