@@ -42,7 +42,7 @@ def sr_stack_streaming(model, params, lr_stack: np.ndarray, n_frames: int = 5,
     Z = lr_stack.shape[0]
     stack_dev = jnp.asarray(lr_stack)
 
-    def _window(feats, lq):
+    def window(feats, lq):           # name feeds the compile-cache key
         sr, _ = model.apply(params, lq, frame_feats=feats)
         return sr
 
@@ -50,8 +50,8 @@ def sr_stack_streaming(model, params, lr_stack: np.ndarray, n_frames: int = 5,
     def frame_feats(frame):          # [h, w, 1] -> per-frame pyramid
         return model.apply(params, frame[None, None], features_only=True)
 
-    window = jax.jit(guard.with_deferred_guards(_window)
-                     if defer_guards else _window)
+    window = jax.jit(guard.with_deferred_guards(window)
+                     if defer_guards else window)
 
     per_slice = [frame_feats(stack_dev[z]) for z in range(Z)]
 

@@ -34,7 +34,7 @@ afterwards).
 from __future__ import annotations
 
 import contextlib
-from functools import reduce
+from functools import reduce, wraps
 
 import jax.numpy as jnp
 from jax import lax
@@ -90,6 +90,7 @@ def with_deferred_guards(fn):
     `model.apply`). Wrap BEFORE `jax.jit` so the contexts are active during
     tracing. If `fn` contains no windowed dispatches the wrapper is a no-op.
     """
+    @wraps(fn)
     def wrapped(*args):
         with collect() as oks:
             fast = fn(*args)
