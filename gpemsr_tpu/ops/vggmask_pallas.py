@@ -11,9 +11,11 @@ Only 16x16-patch sums of relu1_2 PRODUCTS ever leave the stage, so the
 expensive half fuses into one kernel:
 
   * conv1_1 (3 broadcast channels -> one summed 1-channel conv) stays in
-    XLA — 1.2 GFLOP, trivial — and its relu lands in HBM once, transposed
-    to a channels-in-sublanes layout [C=64, (H+2pad)*W] whose flattened
-    pixel axis lives entirely in the lane dimension.
+    XLA — 1.2 GFLOP, trivial — expressed as a [C, 9] x [9, HW] matmul over
+    the 9-tap shift stack of the single-channel image, so its relu is BORN
+    in the channels-in-sublanes layout [C=64, B*(H+2pad)*W] the kernel
+    wants (round 3 traced 2.2 ms/section of pure layout copy when this was
+    an NHWC conv followed by a transpose).
   * The Pallas kernel processes one 16-row patch band per grid step: DMAs
     the 18-row slab for both images, builds the 3x3 im2col stack
     [9*64, 16*W] with lane rolls (row shifts are aligned lane offsets,
@@ -52,16 +54,18 @@ _PATCH = 16
 
 def _kernel(r1a_ref, r1b_ref, w2t_ref, b2_ref, out_ref,
             xs_a, xs_b, col_ref, r2a_ref, r2b_ref, sem_a, sem_b,
-            *, W, GW):
+            *, W, GW, LP):
     bi = pl.program_id(0)
     t = pl.program_id(1)
     TL = _PATCH * W                    # lanes per output band
     SL = TL + 2 * W                    # lanes per input slab (1-row halo)
 
+    # images are folded into the lane axis ([C, B*LP]): slicing a tiled
+    # sublane-sized middle dim is not Mosaic-sliceable, a lane offset is
     cp_a = pltpu.make_async_copy(
-        r1a_ref.at[bi, :, pl.ds(t * TL, SL)], xs_a, sem_a)
+        r1a_ref.at[:, pl.ds(bi * LP + t * TL, SL)], xs_a, sem_a)
     cp_b = pltpu.make_async_copy(
-        r1b_ref.at[bi, :, pl.ds(t * TL, SL)], xs_b, sem_b)
+        r1b_ref.at[:, pl.ds(bi * LP + t * TL, SL)], xs_b, sem_b)
     cp_a.start()
     cp_b.start()
 
@@ -109,10 +113,12 @@ def _kernel(r1a_ref, r1b_ref, w2t_ref, b2_ref, out_ref,
     out_ref[0, 0] = jnp.concatenate(rows, axis=0)
 
 
-def _patch_sums_pallas(r1a, r1b, w2t, b2, W, interpret):
-    """r1a/r1b: [B, C, (H+2)*W] channel-major relu1_1 with one zero pad row
-    top+bottom. Returns [B, GH, 3, GW] f32 patch sums (ab, aa, bb)."""
-    B, C, L = r1a.shape
+def _patch_sums_pallas(r1a, r1b, w2t, b2, B, W, interpret):
+    """r1a/r1b: [C, B*(H+2)*W] channel-major relu1_1, images folded into the
+    lane axis, one zero pad row per side of each image. Returns
+    [B, GH, 3, GW] f32 patch sums (ab, aa, bb)."""
+    C, BL = r1a.shape
+    L = BL // B
     H = L // W - 2
     GH = H // _PATCH
     GW = W // _PATCH
@@ -120,7 +126,7 @@ def _patch_sums_pallas(r1a, r1b, w2t, b2, W, interpret):
     dt = r1a.dtype
 
     return pl.pallas_call(
-        functools.partial(_kernel, W=W, GW=GW),
+        functools.partial(_kernel, W=W, GW=GW, LP=L),
         grid=(B, GH),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -167,24 +173,40 @@ def vgg_patch_cosine(img_a, img_b, k1, b1, k2, b2, interpret=None):
     B, H, W, _ = img_a.shape
     dt = img_a.dtype
 
-    k1s = jnp.sum(k1.astype(jnp.float32), axis=2, keepdims=True).astype(k1.dtype)
+    # conv1_1 weights with the 3 broadcast input channels pre-summed:
+    # w1t[c, tap] for the 9 taps in (di, dj) raster order
+    w1t = jnp.sum(k1.astype(jnp.float32), axis=2).reshape(9, _C).T
 
     def relu1_1(x):
-        h = lax.conv_general_dilated(
-            x, k1s, (1, 1), [(1, 1), (1, 1)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        h = jnp.maximum(h + b1.astype(jnp.float32), 0.0).astype(dt)
-        # channels-major flat layout with one explicit zero pad row per side
-        h = h.transpose(0, 3, 1, 2).reshape(B, _C, H * W)
-        return jnp.pad(h, ((0, 0), (0, 0), (W, W)))
+        # x is NHWC with C=1, so the flat [B, H*W] view is layout-free.
+        # conv1_1 over a single channel == [C, 9] x [9, B*H*W] matmul over
+        # the 9-tap shift stack; the output is BORN channels-major — no
+        # transpose/relayout between here and the kernel's DMA.
+        xf = x.reshape(B, H * W)
+        row = lax.broadcasted_iota(jnp.int32, (B, H * W), 1) // W
+        col = lax.broadcasted_iota(jnp.int32, (B, H * W), 1) % W
+        taps = []
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                seg = jnp.roll(xf, -(di * W + dj), axis=1)
+                ok = ((row + di >= 0) & (row + di < H)
+                      & (col + dj >= 0) & (col + dj < W))
+                taps.append(jnp.where(ok, seg, jnp.zeros_like(seg)))
+        stack = jnp.stack(taps, axis=0).reshape(9, B * H * W)
+        h = jnp.dot(w1t.astype(dt), stack,
+                    preferred_element_type=jnp.float32)
+        h = jnp.maximum(h + b1.astype(jnp.float32)[:, None], 0.0).astype(dt)
+        # one explicit zero pad row per side of each image, then refold the
+        # images into the lane axis ([C, B*(H+2)*W])
+        h = jnp.pad(h.reshape(_C, B, H * W), ((0, 0), (0, 0), (W, W)))
+        return h.reshape(_C, B * (H + 2) * W)
 
     w2t = k2.reshape(9, _C, _C).transpose(2, 0, 1).reshape(_C, 9 * _C)
     b2c = jnp.broadcast_to(
         b2.astype(jnp.float32).reshape(_C, 1), (_C, 128))
 
     sums = _patch_sums_pallas(relu1_1(img_a), relu1_1(img_b),
-                              w2t.astype(dt), b2c, W, interpret)
+                              w2t.astype(dt), b2c, B, W, interpret)
     ab = sums[:, :, 0]
     aa = sums[:, :, 1]
     bb = sums[:, :, 2]
