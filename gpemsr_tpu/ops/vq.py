@@ -43,5 +43,11 @@ def lookup_logits(logits: jax.Array, codebook: jax.Array) -> jax.Array:
 
     Matches `Codebook.inference_lr` (codebook.py:34-43): softmax + top-1, which
     reduces to an argmax lookup."""
+    if logits.shape[-1] != codebook.shape[0]:
+        # out-of-range take would silently fill NaN (jnp.take default mode)
+        raise ValueError(
+            f"indexer num_classes ({logits.shape[-1]}) != codebook size "
+            f"({codebook.shape[0]}) — IndexerConfig.num_classes must match "
+            f"CodebookConfig.num_codebook_vectors")
     idx = jnp.argmax(logits, axis=-1)
     return jnp.take(codebook, idx, axis=0)

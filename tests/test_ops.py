@@ -171,6 +171,15 @@ def test_lookup_logits(rng):
     np.testing.assert_allclose(np.asarray(out), cb[logits.argmax(-1)])
 
 
+def test_lookup_logits_rejects_mismatched_codebook(rng):
+    """num_classes != codebook size would silently NaN-fill via the
+    out-of-range take — must fail loudly instead."""
+    cb = rng.standard_normal((16, 4), dtype=np.float32)
+    logits = rng.standard_normal((1, 3, 3, 32), dtype=np.float32)
+    with pytest.raises(ValueError, match="num_classes"):
+        lookup_logits(jnp.asarray(logits), jnp.asarray(cb))
+
+
 def test_contextual_loss_matches_torch(rng):
     x = rng.standard_normal((2, 8, 6, 6), dtype=np.float32)
     y = rng.standard_normal((2, 8, 6, 6), dtype=np.float32)
