@@ -37,10 +37,12 @@ def main():
                         "(reference inference_seg.py --show)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 model compute (affinities return f32)")
-    p.add_argument("--fetch-f16", action="store_true",
-                   help="fetch affinities device->host as f16 (halves the "
-                        "dominant transfer on low-bandwidth links; ~5e-4 "
-                        "resolution, guard with a VOI delta)")
+    p.add_argument("--fetch-f16", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="fetch affinities device->host as f16 — halves the "
+                        "dominant transfer; measured VOI delta -0.012 "
+                        "(noise-level, scripts/bench_seg_fetch.py). "
+                        "--no-fetch-f16 restores the f32 fetch")
     args = p.parse_args()
     cfg = load_yaml(args.cfg, SegConfig)
     if args.test_split:

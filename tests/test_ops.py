@@ -374,10 +374,12 @@ def test_dcn_gather_chunked_matches_unchunked(rng):
                                atol=1e-6)
 
 
-@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
-def test_vgg_patch_cosine_kernel_matches_xla(rng, dtype):
+@pytest.mark.parametrize("dtype,B", [("float32", 2), ("bfloat16", 2),
+                                     ("float32", 1), ("float32", 3)])
+def test_vgg_patch_cosine_kernel_matches_xla(rng, dtype, B):
     """Fused Pallas patch-cosine (interpret mode) == the unfused
-    conv/conv/pool formulation used off-TPU."""
+    conv/conv/pool formulation used off-TPU. B=1/3 exercise the
+    folded-lane image indexing (images live in the lane axis)."""
     import flax.linen as nn
     import jax
     from jax import lax
@@ -385,7 +387,7 @@ def test_vgg_patch_cosine_kernel_matches_xla(rng, dtype):
     from gpemsr_tpu.ops import vggmask_pallas
     from gpemsr_tpu.ops.vggmask_pallas import vgg_patch_cosine
 
-    B, H, W, C = 2, 32, 128, 64
+    H, W, C = 32, 128, 64
     img_a = rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32)
     img_b = rng.uniform(0, 1, (B, H, W, 1)).astype(np.float32)
     k1 = (rng.standard_normal((3, 3, 3, C)) * 0.1).astype(np.float32)
