@@ -47,10 +47,31 @@ def sh(cmd):
     subprocess.run(cmd, check=True, cwd=ROOT)
 
 
-def ckpt_done(name):
+def ckpt_done(name, stage_cfg=None):
+    """A stage is done only when its latest checkpoint reached niter.
+
+    Earlier this returned True on ANY checkpoint, so a stage interrupted
+    mid-run (e.g. the session hosting it dying) was silently skipped on the
+    next pipeline invocation and downstream stages trained from a partial
+    prior. The trainers themselves resume-from-latest, so re-invoking an
+    unfinished stage continues it rather than restarting.
+    """
     d = os.path.join(RUNS, name, "checkpoints")
-    return os.path.isdir(d) and any(f.startswith("step_") or f
-                                    for f in os.listdir(d))
+    if not (os.path.isdir(d) and any(f.startswith("step_")
+                                     for f in os.listdir(d))):
+        return False
+    if stage_cfg is None:
+        return True
+    import yaml
+    with open(os.path.join(ROOT, "configs", stage_cfg)) as f:
+        niter = yaml.safe_load(f)["train"]["niter"]
+    from gpemsr_tpu.core import checkpoint as ckpt
+    latest = ckpt.latest_step(d)
+    if latest is not None and latest < niter:
+        print(f"{name}: checkpoint @{latest} < niter {niter} — resuming",
+              flush=True)
+        return False
+    return True
 
 
 def record(key, value):
@@ -66,15 +87,15 @@ def record(key, value):
 
 
 def train_stages():
-    if not ckpt_done("baseline_stage1"):
+    if not ckpt_done("baseline_stage1", f"baseline_stage1{SUFFIX}.yml"):
         sh([sys.executable, "train_stage1.py",
             "-opt", f"configs/baseline_stage1{SUFFIX}.yml"])
-    if not ckpt_done("baseline_stage2"):
+    if not ckpt_done("baseline_stage2", f"baseline_stage2{SUFFIX}.yml"):
         sh([sys.executable, "train_stage2.py",
             "-opt", f"configs/baseline_stage2{SUFFIX}.yml",
             "--stage1-ckpt", os.path.join(RUNS, "baseline_stage1",
                                           "checkpoints")])
-    if not ckpt_done("baseline_stage3"):
+    if not ckpt_done("baseline_stage3", f"baseline_stage3{SUFFIX}.yml"):
         sh([sys.executable, "train_stage3.py",
             "-opt", f"configs/baseline_stage3{SUFFIX}.yml",
             "--prior-ckpt", os.path.join(RUNS, "baseline_stage2",
