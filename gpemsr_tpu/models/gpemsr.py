@@ -15,12 +15,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gpemsr_tpu.core.config import GPEMSRConfig
-from gpemsr_tpu.models.layers import Conv, ConvTranspose2dTorch, ResidualBlockNoBN, lrelu
+from gpemsr_tpu.models.layers import (Conv, ConvTranspose2dTorch,
+                                      ResidualBlockNoBN, SubpixelConvShuffle,
+                                      lrelu)
 from gpemsr_tpu.models.prior import LRGenerator
 from gpemsr_tpu.models.spynet import SpyNet
 from gpemsr_tpu.models.vgg import VGG19Features
 from gpemsr_tpu.ops.dcn import deform_conv2d
-from gpemsr_tpu.ops.pixel_shuffle import pixel_shuffle
 from gpemsr_tpu.ops.resize import interpolate
 
 
@@ -298,12 +299,14 @@ class GPEMSR(nn.Module):
             out = ResidualBlockNoBN(nf, name=f"back_rb{i}")(out)
 
         # upconv1: nf -> nf*4 (shuffles back to nf); later stages work at 64ch
-        # (GPEMSR.py:304-318)
+        # (GPEMSR.py:304-318). SubpixelConvShuffle = conv + pixel_shuffle with
+        # the torch channel packing moved into the weights so the
+        # depth-to-space never crosses the lane dim (checkpoint-identical).
         n_up = 4 if c.scale == 16 else 3
         for i in range(n_up):
             feats = nf * 4 if i == 0 else 64 * 4
-            out = lrelu(pixel_shuffle(
-                Conv(feats, name=f"upconv{i + 1}")(out), 2))
+            out = lrelu(
+                SubpixelConvShuffle(feats, name=f"upconv{i + 1}")(out))
         out = lrelu(Conv(64, name="HRconv")(out))
         out = Conv(1, name="conv_last")(out)
 

@@ -33,6 +33,62 @@ class Conv(nn.Module):
                        use_bias=self.use_bias, name="conv")(x)
 
 
+class _TorchConvParams(nn.Module):
+    """Parameter holder matching Conv's inner nn.Conv layout/init, so modules
+    that need the raw kernel stay checkpoint-compatible with Conv."""
+    features: int
+    kernel: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, self.kernel, self.in_features,
+                        self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class SubpixelConvShuffle(nn.Module):
+    """Conv(C*r*r) followed by PixelShuffle(r), keeping channels as the minor
+    (lane) dimension through the depth-to-space.
+
+    Numerically identical to ``pixel_shuffle(Conv(C*r*r)(x), r)`` with torch
+    channel order out[c*r*r + i*r + j] (reference GPEMSR.py:316,442-448), and
+    checkpoint-compatible with it: the kernel is stored in torch output-channel
+    order (params ``<name>/conv/{kernel,bias}``, same shapes/init as Conv) and
+    re-packed to [i, j, c] order at apply time — a transpose of a small weight
+    tensor instead of the lane-crossing activation transpose XLA materializes
+    for the torch order (traced at 0.8 ms/section for the final 512^2->1024^2
+    shuffle). The activation depth-to-space then only swaps W with the r
+    sublane dims while the lane dim C stays minor and untouched."""
+    features: int          # C * r * r, torch channel packing
+    r: int = 2
+    pad: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        r = self.r
+        C = self.features // (r * r)
+        k, b = _TorchConvParams(self.features, 2 * self.pad + 1, x.shape[-1],
+                                name="conv")()
+        kh, kw, cin, _ = k.shape
+        # reorder output channels [c, i, j] -> [i, j, c] (weights, not data)
+        kp = k.reshape(kh, kw, cin, C, r, r)
+        kp = jnp.transpose(kp, (0, 1, 2, 4, 5, 3)).reshape(kh, kw, cin,
+                                                           self.features)
+        bp = jnp.transpose(b.reshape(C, r, r), (1, 2, 0)).reshape(-1)
+        dt = jnp.promote_types(x.dtype, k.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), kp.astype(dt), window_strides=(1, 1),
+            padding=[(self.pad, self.pad)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bp.astype(dt)
+        B, H, W, _ = y.shape
+        y = y.reshape(B, H, W, r, r, C)
+        y = y.transpose(0, 1, 3, 2, 4, 5)      # B, H, i, W, j, C — lane fixed
+        return y.reshape(B, H * r, W * r, C)
+
+
 class ConvTranspose2dTorch(nn.Module):
     """torch nn.ConvTranspose2d(k, stride, padding, output_padding) equivalent.
 

@@ -428,3 +428,26 @@ def test_vgg_patch_cosine_kernel_matches_xla(rng, dtype, B):
         vggmask_pallas.INTERPRET = old
     np.testing.assert_allclose(np.asarray(sim), np.asarray(sim_ref),
                                atol=2e-4 if dtype == "float32" else 5e-2)
+
+
+def test_subpixel_conv_shuffle_matches_conv_pixel_shuffle(rng):
+    """SubpixelConvShuffle must be bit-compatible with the torch-order
+    Conv -> pixel_shuffle it replaces, sharing the same checkpoint layout."""
+    import jax
+    from gpemsr_tpu.models.layers import Conv, SubpixelConvShuffle
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 7, 5), dtype=np.float32))
+    mod = SubpixelConvShuffle(16)                     # C=4, r=2
+    params = mod.init(jax.random.PRNGKey(0), x)
+    assert set(params["params"]["conv"]) == {"kernel", "bias"}
+    ref = pixel_shuffle(Conv(16).apply(params, x), 2)
+    out = mod.apply(params, x)
+    assert out.shape == (2, 12, 14, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    # bf16 inputs promote exactly like flax Conv (common dtype with params)
+    out_bf = mod.apply(params, x.astype(jnp.bfloat16))
+    ref_bf = pixel_shuffle(Conv(16).apply(params, x.astype(jnp.bfloat16)), 2)
+    assert out_bf.dtype == ref_bf.dtype
+    np.testing.assert_allclose(np.asarray(out_bf, dtype=np.float32),
+                               np.asarray(ref_bf, dtype=np.float32), atol=1e-5)
