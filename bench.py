@@ -30,9 +30,12 @@ final line simply overrides it when reached (round-2 lesson: BENCH_r02 was
 rc=124 with nothing printed).
 Flags: --f32 (disable bf16), --per-window (reference-style full forward per
 section), --batch=N (sections processed concurrently), --iters=N, --x8
-(bench the x8 model; metric name changes accordingly), --defer-guards
-(hoist the per-op windowed-kernel exactness conds into one whole-forward
-cond — ops/guard.py).
+(bench the x8 model; metric name changes accordingly),
+--guard-mode=host|defer|percall (windowed-kernel exactness guards: "host" =
+straight-line kernels with the predicate returned alongside the outputs,
+"defer" = one whole-forward lax.cond, "percall" = a cond per dispatch;
+defaults: percall at x16, defer at x8 — the fastest measured per scale;
+--defer-guards is back-compat for defer).
 """
 
 from __future__ import annotations
@@ -107,8 +110,23 @@ def main():
             params, x, frame_feats=ft)[0]
         full_fn = lambda x: model.apply(params, x)[0]   # noqa: E731
 
+    # guard mode (measured r4, one v5e chip — differences are small and
+    # scale-dependent: x16 percall 23.25 / defer 22.87 / host 22.85 MPix/s;
+    # x8 defer 10.89 / host 10.71 / percall 10.25): default percall at x16
+    # (the fastest measured), defer at x8. sr_stack_streaming's production
+    # default stays "host" — same device throughput within noise, and it
+    # enables the dispatch-ahead fetch/encode overlap in the exporter.
+    guard_mode = "defer" if "--x8" in sys.argv else "percall"
     if "--defer-guards" in sys.argv:
-        from gpemsr_tpu.ops import guard
+        guard_mode = "defer"
+    for a in sys.argv[1:]:
+        if a.startswith("--guard-mode="):
+            guard_mode = a.split("=")[1]
+    from gpemsr_tpu.ops import guard
+    if guard_mode == "host":
+        win_fn = guard.with_host_guards(win_fn)     # -> (sr, ok)
+        full_fn = guard.with_host_guards(full_fn)
+    elif guard_mode == "defer":
         win_fn = guard.with_deferred_guards(win_fn)
         full_fn = guard.with_deferred_guards(full_fn)
 
@@ -149,19 +167,31 @@ def main():
     def dep(c):
         return 1e-6 * c.astype(jnp.float32).mean()
 
+    # In host-guard mode the forward returns (sr, ok); the ok reduce is part
+    # of the production steady state, so thread it through the carry (a
+    # dropped output would be dead-code-eliminated and understate the cost).
     if streaming:
         # steady state of sr_stack_streaming: new-slice features + window
         # assembly (concat across the shared window) + window-level forward
         def step(c):
-            f = feats_fn(frames + dep(c).astype(frames.dtype))
+            f = feats_fn(frames + dep(c[0]).astype(frames.dtype))
             feats = tuple(None if t is None else
                           jnp.concatenate([t] * 5, axis=1) for t in f)
-            return win_fn(feats, lq)
+            out = win_fn(feats, lq)
+            if guard_mode == "host":
+                sr, ok = out
+                return sr, c[1] + ok.astype(jnp.float32)
+            return out, c[1]
     else:
         def step(c):
-            return full_fn(lq + dep(c).astype(lq.dtype))
+            out = full_fn(lq + dep(c[0]).astype(lq.dtype))
+            if guard_mode == "host":
+                sr, ok = out
+                return sr, c[1] + ok.astype(jnp.float32)
+            return out, c[1]
 
-    init = jnp.zeros((batch, h * scale, w * scale, 1), jnp.float32)
+    init = (jnp.zeros((batch, h * scale, w * scale, 1), jnp.float32),
+            jnp.zeros((), jnp.float32))
     t = (timed_chain(step, init, overhead=overhead, provisional=True)
          - overhead) / iters
     emit(mpix / t)

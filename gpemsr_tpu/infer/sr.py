@@ -24,7 +24,8 @@ def window_indices(z: int, num_z: int, n_frames: int = 5) -> list[int]:
 
 def sr_stack_streaming(model, params, lr_stack: np.ndarray, n_frames: int = 5,
                        out_dir: str | None = None,
-                       defer_guards: bool = False) -> np.ndarray:
+                       defer_guards: bool = False,
+                       guard_mode: str | None = None) -> np.ndarray:
     """Streaming z-stack SR: per-frame features (front trunk + prior bank +
     VGG mask + alignment pyramid — the dominant ~60% of the forward) are
     computed once per SLICE and reused by every window containing it; only
@@ -32,12 +33,23 @@ def sr_stack_streaming(model, params, lr_stack: np.ndarray, n_frames: int = 5,
     Identical outputs to the per-window path (the reference recomputes
     per-frame work 5x).
 
-    defer_guards=True hoists the per-op windowed-kernel exactness conds into
-    one whole-forward cond (ops/guard.py) — same outputs, fewer fusion
-    barriers on TPU."""
+    guard_mode selects how the windowed-kernel exactness guards run:
+      * "host" (default): kernels run straight-line with NO lax.cond; the
+        collected predicate comes back with the outputs (fetched per section
+        anyway) and a miss re-dispatches that section through the exact
+        gather path (ops/guard.py::with_host_guards). Identical outputs for
+        arbitrary flows/offsets; fastest steady state (conds are fusion
+        barriers — at x8's 128^2 maps they cost ~35% of device time).
+      * "defer": one whole-forward lax.cond (with_deferred_guards).
+      * "percall": a lax.cond at every windowed dispatch.
+    defer_guards=True is back-compat for guard_mode="defer"."""
     import jax
 
     from gpemsr_tpu.ops import guard
+
+    if guard_mode is None:
+        guard_mode = "defer" if defer_guards else "host"
+    assert guard_mode in ("host", "defer", "percall"), guard_mode
 
     Z = lr_stack.shape[0]
     stack_dev = jnp.asarray(lr_stack)
@@ -50,14 +62,42 @@ def sr_stack_streaming(model, params, lr_stack: np.ndarray, n_frames: int = 5,
     def frame_feats(frame):          # [h, w, 1] -> per-frame pyramid
         return model.apply(params, frame[None, None], features_only=True)
 
-    window = jax.jit(guard.with_deferred_guards(window)
-                     if defer_guards else window)
+    window_exact = None
+    if guard_mode == "host":
+        window_exact = jax.jit(guard.with_forced_exact(window))
+        window = jax.jit(guard.with_host_guards(window))
+    elif guard_mode == "defer":
+        window = jax.jit(guard.with_deferred_guards(window))
+    else:
+        window = jax.jit(window)
 
     per_slice = [frame_feats(stack_dev[z]) for z in range(Z)]
 
     outs = []
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
+
+    def finalize(pend):
+        """Fetch + PNG-encode one dispatched window (host side)."""
+        z, sr, ok = pend
+        if ok is not None and not bool(ok):   # rare: out-of-window flow
+            idxs = window_indices(z, Z, n_frames)
+            feats = tuple(
+                None if per_slice[0][k] is None else
+                jnp.concatenate([per_slice[i][k] for i in idxs], axis=1)
+                for k in range(4))
+            lq = jnp.take(stack_dev, jnp.asarray(idxs), axis=0)[None]
+            sr = window_exact(feats, lq)
+        img = tensor2img(np.asarray(sr[0]))
+        outs.append(img)
+        if out_dir:
+            save_img(img, os.path.join(out_dir, f"{z}.png"))
+
+    # one-deep dispatch-ahead pipeline: section z+1 is enqueued before
+    # section z is fetched, so the device computes while the host blocks on
+    # the relay transfer + PNG encode (jax dispatch is async; outputs are
+    # identical to the serial loop)
+    pending = None
     for z in range(Z):
         idxs = window_indices(z, Z, n_frames)
         feats = tuple(
@@ -65,10 +105,14 @@ def sr_stack_streaming(model, params, lr_stack: np.ndarray, n_frames: int = 5,
             jnp.concatenate([per_slice[i][k] for i in idxs], axis=1)
             for k in range(4))
         lq = jnp.take(stack_dev, jnp.asarray(idxs), axis=0)[None]
-        img = tensor2img(np.asarray(window(feats, lq)[0]))
-        outs.append(img)
-        if out_dir:
-            save_img(img, os.path.join(out_dir, f"{z}.png"))
+        if guard_mode == "host":
+            sr, ok = window(feats, lq)      # sr [1, H, W, 1], ok scalar
+        else:
+            sr, ok = window(feats, lq), None
+        if pending is not None:
+            finalize(pending)
+        pending = (z, sr, ok)
+    finalize(pending)
     return np.stack(outs, 0)
 
 

@@ -82,6 +82,37 @@ def all_ok(oks):
     return reduce(jnp.logical_and, oks, jnp.asarray(True))
 
 
+def with_host_guards(fn):
+    """Straight-line variant of `with_deferred_guards` for streaming hosts:
+    windowed kernels run unguarded and the collected exactness predicate is
+    RETURNED instead of branched on — `wrapped(*args) -> (fn(*args), ok)`
+    with `ok` a scalar bool. No `lax.cond` exists in the traced program at
+    all (conds are fusion barriers on TPU and their fallback branch occupies
+    the instruction stream even when never taken). The caller checks `ok`
+    on the host — it fetches the outputs anyway — and re-dispatches the rare
+    missed call through `with_forced_exact(fn)`. Per-call semantics match the
+    guarded paths exactly: a miss is recomputed through the exact gather
+    kernels, only the recompute granularity is the whole wrapped fn."""
+    @wraps(fn)
+    def wrapped(*args):
+        with collect() as oks:
+            fast = fn(*args)
+        return fast, all_ok(oks)
+
+    return wrapped
+
+
+def with_forced_exact(fn):
+    """The recompute partner of `with_host_guards`: every windowed dispatch
+    inside `fn` is forced to the exact gather path."""
+    @wraps(fn)
+    def wrapped(*args):
+        with force_exact():
+            return fn(*args)
+
+    return wrapped
+
+
 def with_deferred_guards(fn):
     """Wrap an inference fn so its windowed kernels run unguarded, with ONE
     lax.cond swapping in a full exact recompute when any guard failed.

@@ -18,9 +18,14 @@ def cosine_annealing_restart(base_lr: float, t_period: Sequence[int],
                              restart_weights: Sequence[float] = (),
                              eta_min: float = 1e-7):
     """Returns a schedule fn step -> lr."""
+    # the torch scheduler shifts restarts by one (lr_scheduler.py:42
+    # `self.restarts = [v + 1 for v in self.restarts]`): the restarted lr
+    # (base*weight, new period) is first SEEN at optimizer step r+1, and
+    # step r still belongs to the previous cosine segment
+    # (test_reference_direct.py pins the full 481-step sequence)
     restarts = list(restarts)
     weights = [1.0] + list(restart_weights)
-    starts = np.asarray([0] + restarts, np.int32)
+    starts = np.asarray([0] + [r + 1 for r in restarts], np.int32)
     periods = np.asarray(list(t_period), np.float32)
     weights = np.asarray(weights[:len(starts)], np.float32)
     assert len(periods) >= len(starts)
@@ -47,8 +52,9 @@ def multistep_restart(base_lr: float, milestones: Sequence[int],
                       restarts: Sequence[int] = (),
                       restart_weights: Sequence[float] = (),
                       gamma: float = 0.1):
+    # same +1 restart shift as the cosine variant (lr_scheduler.py:15)
     milestones = np.asarray(sorted(milestones), np.int32)
-    restarts = np.asarray([0] + list(restarts), np.int32)
+    restarts = np.asarray([0] + [r + 1 for r in restarts], np.int32)
     weights = np.asarray([1.0] + list(restart_weights), np.float32)
 
     ms_j = jnp.asarray(milestones)

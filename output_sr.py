@@ -38,6 +38,12 @@ def main():
     p.add_argument("--defer-guards", action="store_true",
                    help="one whole-forward exactness cond instead of one per "
                         "windowed kernel (ops/guard.py; same outputs)")
+    p.add_argument("--guard-mode", type=str, default=None,
+                   choices=["host", "defer", "percall"],
+                   help="windowed-kernel exactness guards: host (default — "
+                        "straight-line kernels, host-side recheck), defer "
+                        "(one whole-forward cond), percall (one cond per "
+                        "dispatch); same outputs in all modes")
     args = p.parse_args()
     cfg = load_yaml(args.opt, ExperimentConfig)
 
@@ -63,7 +69,8 @@ def main():
     # streaming: per-frame features computed once per slice and shared
     # across the 5 windows containing it (bit-identical, ~2x faster)
     sr_stack_streaming(model, params, stack, n_frames=cfg.network.nframes,
-                       out_dir=out_dir, defer_guards=args.defer_guards)
+                       out_dir=out_dir, defer_guards=args.defer_guards,
+                       guard_mode=args.guard_mode)
     print(f"wrote {stack.shape[0]} SR sections to {out_dir}")
 
 

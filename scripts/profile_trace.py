@@ -44,7 +44,11 @@ def main():
         from gpemsr_tpu.models.gpemsr import GPEMSR
         from gpemsr_tpu.utils.precision import bf16_inference
 
-        cfg = _flagship_cfg()
+        if "--x8" in sys.argv:
+            from gpemsr_tpu.core.config import GPEMSRConfig, PriorConfig
+            cfg = GPEMSRConfig(scale=8, prior=PriorConfig(scale=8))
+        else:
+            cfg = _flagship_cfg()
         model = GPEMSR(cfg)
         h = w = 1024 // cfg.scale
         lq0 = jnp.zeros((1, 5, 16, 16, 1), jnp.float32)
@@ -54,18 +58,28 @@ def main():
         feats_fn = jax.jit(bf16_inference(
             lambda p, f: model.apply(p, f[:, None], features_only=True),
             params))
-        win_fn = jax.jit(bf16_inference(
-            lambda p, ft, x: model.apply(p, x, frame_feats=ft)[0], params))
+        win_raw = bf16_inference(
+            lambda p, ft, x: model.apply(p, x, frame_feats=ft)[0], params)
+        # default: trace the production streaming graph (host guards —
+        # straight-line kernels, ok predicate returned); --percall keeps
+        # the per-dispatch lax.cond variant for comparison
+        if "--percall" in sys.argv:
+            win_fn = jax.jit(win_raw)
+            done = win_fn
+        else:
+            from gpemsr_tpu.ops import guard
+            win_fn = jax.jit(guard.with_host_guards(win_raw))
+            done = lambda *a: win_fn(*a)[0]    # noqa: E731
 
         f = feats_fn(lq[:, 0])                # compile outside the trace
         feats = tuple(None if t is None else jnp.concatenate([t] * 5, axis=1)
                       for t in f)
-        win_fn(feats, lq).block_until_ready()
+        done(feats, lq).block_until_ready()
         with jax.profiler.trace(out):
             f = feats_fn(lq[:, 0])
             feats = tuple(None if t is None else
                           jnp.concatenate([t] * 5, axis=1) for t in f)
-            win_fn(feats, lq).block_until_ready()
+            done(feats, lq).block_until_ready()
 
     for root, _dirs, files in os.walk(out):
         for fn in files:

@@ -113,6 +113,43 @@ def test_deferred_mixed_calls_one_miss_recomputes_all(rng, interpret_mode):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_host_guards_returns_ok_and_fast_result(rng, interpret_mode):
+    """with_host_guards: in-window inputs -> (guarded-path result, ok=True);
+    no lax.cond may appear in the traced program."""
+    args = _dcn_case(rng, off_scale=0.5)
+    wrapped = guard.with_host_guards(_dcn)
+    fast, ok = wrapped(*args)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(_dcn(*args)),
+                               rtol=1e-5, atol=1e-5)
+    jaxpr = jax.make_jaxpr(wrapped)(*args)
+    assert "cond" not in str(jaxpr)
+
+
+def test_host_guards_miss_then_forced_exact_matches(rng, interpret_mode):
+    """with_host_guards on an out-of-window offset: ok=False, and the
+    with_forced_exact re-dispatch reproduces the exact gather result —
+    the full host-side protocol sr_stack_streaming uses."""
+    x, offset, mask, w, b = _dcn_case(rng, off_scale=0.5)
+    offset = offset.at[0, 0, 0, 0].set(6.5)   # in-image, past radius 4
+    wrapped = jax.jit(guard.with_host_guards(_dcn))
+    exact = jax.jit(guard.with_forced_exact(_dcn))
+    fast, ok = wrapped(x, offset, mask, w, b)
+    assert not bool(ok)
+    np.testing.assert_allclose(np.asarray(exact(x, offset, mask, w, b)),
+                               np.asarray(_dcn_exact(x, offset, mask, w, b)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_host_guards_noop_fn_ok_true(rng):
+    wrapped = guard.with_host_guards(lambda t: t * 3)
+    out, ok = wrapped(jnp.arange(4.0))
+    assert bool(ok)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(jnp.arange(4.0) * 3))
+    assert not guard.deferring() and not guard.forcing_exact()
+
+
 def test_wrapper_noop_without_windowed_calls(rng):
     wrapped = guard.with_deferred_guards(lambda t: t * 2 + 1)
     t = jnp.arange(8.0)
