@@ -67,11 +67,18 @@ def main():
     x8 = "--x8" in sys.argv
     batch = 1
     iters = 6
+    streams = 1
     for a in sys.argv[1:]:
         if a.startswith("--batch="):
             batch = int(a.split("=")[1])
         if a.startswith("--iters="):
             iters = int(a.split("=")[1])
+        if a.startswith("--streams="):
+            # N INDEPENDENT batch-1 stacks advanced alternately per step —
+            # the multi-stack serving alternative to --batch=N (which is
+            # bandwidth-bound and loses ~10%): same per-stream graphs as
+            # batch=1, aggregate throughput reported
+            streams = int(a.split("=")[1])
 
     scale = 8 if x8 else 16
     if x8:
@@ -170,7 +177,30 @@ def main():
     # In host-guard mode the forward returns (sr, ok); the ok reduce is part
     # of the production steady state, so thread it through the carry (a
     # dropped output would be dead-code-eliminated and understate the cost).
-    if streaming:
+    if streaming and streams > 1:
+        # N independent stacks advanced alternately (multi-stack serving):
+        # each stream's forward depends only on ITS previous section, so the
+        # scheduler may interleave streams to fill pipeline bubbles; the
+        # graphs are the batch-1 graphs (the bandwidth-bound batch=N graph
+        # is avoided entirely)
+        def one_stream(c_sr, c_ok, salt):
+            f = feats_fn(frames + (dep(c_sr) + salt).astype(frames.dtype))
+            feats = tuple(None if t is None else
+                          jnp.concatenate([t] * 5, axis=1) for t in f)
+            out = win_fn(feats, lq)
+            if guard_mode == "host":
+                sr, ok = out
+                return sr, c_ok + ok.astype(jnp.float32)
+            return out, c_ok
+
+        def step(c):
+            srs, c_ok = c
+            new = []
+            for i, s in enumerate(srs):
+                sr, c_ok = one_stream(s, c_ok, 1e-6 * (i + 1))
+                new.append(sr)
+            return tuple(new), c_ok
+    elif streaming:
         # steady state of sr_stack_streaming: new-slice features + window
         # assembly (concat across the shared window) + window-level forward
         def step(c):
@@ -190,8 +220,13 @@ def main():
                 return sr, c[1] + ok.astype(jnp.float32)
             return out, c[1]
 
-    init = (jnp.zeros((batch, h * scale, w * scale, 1), jnp.float32),
-            jnp.zeros((), jnp.float32))
+    sr0 = jnp.zeros((batch, h * scale, w * scale, 1), jnp.float32)
+    if streaming and streams > 1:
+        init = (tuple(sr0 + i for i in range(streams)),
+                jnp.zeros((), jnp.float32))
+        mpix *= streams
+    else:
+        init = (sr0, jnp.zeros((), jnp.float32))
     t = (timed_chain(step, init, overhead=overhead, provisional=True)
          - overhead) / iters
     emit(mpix / t)

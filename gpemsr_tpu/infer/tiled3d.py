@@ -101,7 +101,7 @@ def _regular_grid(padded_shape, proto: TileProtocol):
 
 def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
                 out_channels: int = 3, batch: int = 4,
-                params=None, fetch_dtype=None) -> np.ndarray:
+                params=None, fetch_dtype=None, fetch_boundary: bool = False):
     """volume [Z, Y, X] float32 in [0,1] -> affinities [C, Z, Y, X].
 
     apply_fn(crop[B, cz, cy, cx, 1]) -> [B, oz, oy, ox, C]. Crops are batched
@@ -114,22 +114,41 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
     params exceed this environment's remote-compile request limit
     (HTTP 413). Prefer passing params for big models.
 
-    fetch_dtype: optional narrower dtype (np.float16) the normalized
-    affinities are cast to ON DEVICE before the device->host fetch — halves
-    the fetch bytes (the dominant cost on low-bandwidth links; a 50x1024^2
-    f32 volume is ~845 MB). f16 keeps ~5e-4 resolution near 1.0 (8x finer
-    than the u8 quantization that measurably shifted watershed seeds);
-    guard protocol changes with a VOI delta (tests/test_infer.py). The
-    returned array is float32 either way."""
+    fetch_dtype: optional narrower dtype the normalized affinities are cast
+    to ON DEVICE before the device->host fetch (the dominant cost on
+    low-bandwidth links; a 50x1024^2 f32 volume is ~845 MB).
+      * np.float16 halves the bytes and keeps ~5e-4 resolution near 1.0;
+        measured VOI delta -0.012 (noise).
+      * np.uint8 quarters them (round(a*255)). u8 is fine for the waterz
+        agglomeration scores (its merge queue is already discretized into
+        256 bins) but too coarse for the watershed boundary map, whose
+        seeds it measurably shifts — pair with fetch_boundary=True.
+    The returned affinities are float32 either way.
+
+    fetch_boundary: also compute the watershed boundary map
+    1 - 0.5*(affs[1] + affs[2]) ON DEVICE from the pre-quantization f32
+    affinities and fetch it as f16 (+2 bytes/voxel); the return value
+    becomes (affs, boundary) with boundary float32 [Z, Y, X]. Pass it to
+    `watershed(..., boundary=...)` so seed geometry keeps f16 precision
+    while the affinities ride the u8 path."""
     if params is not None:
         inner_apply = apply_fn
     else:
         def inner_apply(_p, crops):
             return apply_fn(crops)
     def fetch(dev_arr):
-        if fetch_dtype is not None:
-            dev_arr = dev_arr.astype(fetch_dtype)
-        return np.asarray(dev_arr).astype(np.float32)
+        bdry = None
+        if fetch_boundary:
+            b16 = (1.0 - 0.5 * (dev_arr[1] + dev_arr[2])).astype(jnp.float16)
+            bdry = np.asarray(b16).astype(np.float32)
+        if fetch_dtype is np.uint8 or fetch_dtype == jnp.uint8:
+            q = jnp.clip(jnp.round(dev_arr * 255.0), 0, 255).astype(jnp.uint8)
+            out = np.asarray(q).astype(np.float32) / 255.0
+        elif fetch_dtype is not None:
+            out = np.asarray(dev_arr.astype(fetch_dtype)).astype(np.float32)
+        else:
+            out = np.asarray(dev_arr).astype(np.float32)
+        return (out, bdry) if fetch_boundary else out
 
     pad = proto.pad
     padded = np.pad(volume, tuple((p, p) for p in pad), mode="reflect")
@@ -221,12 +240,18 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
         acc = run_fold(params, vol_dev, jnp.asarray(rows_pos),
                        jnp.asarray(rows_val))
         wacc = run_wfold()
-        out = fetch(acc / wacc)
-        # trim the fold's zero tail back to the padded volume, then unpad
-        out = out[:, :padded.shape[0], :padded.shape[1], :padded.shape[2]]
-        return out[:, pad[0]:out.shape[1] - pad[0],
-                   pad[1]:out.shape[2] - pad[1],
-                   pad[2]:out.shape[3] - pad[2]]
+        res = fetch(acc / wacc)
+
+        def trim(a):
+            # trim the fold's zero tail back to the padded volume, then unpad
+            a = a[..., :padded.shape[0], :padded.shape[1], :padded.shape[2]]
+            return a[..., pad[0]:a.shape[-3] - pad[0],
+                     pad[1]:a.shape[-2] - pad[1],
+                     pad[2]:a.shape[-1] - pad[2]]
+
+        if fetch_boundary:
+            return trim(res[0]), trim(res[1])
+        return trim(res)
 
     if proto.blend:
         # per-batch dispatch with DONATED accumulators: the 4-buffer
@@ -261,10 +286,16 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
         for i in range(nb):
             acc, wacc = step(acc, wacc, params, vol_dev, pos_dev[i],
                              val_dev[i])
-        out = fetch(acc / wacc[None])
-        return out[:, pad[0]:out.shape[1] - pad[0],
-                   pad[1]:out.shape[2] - pad[1],
-                   pad[2]:out.shape[3] - pad[2]]
+        res = fetch(acc / wacc[None])
+
+        def trim(a):
+            return a[..., pad[0]:a.shape[-3] - pad[0],
+                     pad[1]:a.shape[-2] - pad[1],
+                     pad[2]:a.shape[-1] - pad[2]]
+
+        if fetch_boundary:
+            return trim(res[0]), trim(res[1])
+        return trim(res)
 
     # MALA: valid-conv output maps exactly onto the unpadded volume at the
     # crop origin; crops are written without blending (provider_valid.py:283)
@@ -288,4 +319,4 @@ def tiled_infer(apply_fn: Callable, volume: np.ndarray, proto: TileProtocol,
 
     # unpadded writes happen in grid order; tail padding rewrites the last
     # crop (identical output, provider semantics)
-    return fetch(run_mala(params, vol_dev, jnp.asarray(pos_np)))
+    return fetch(run_mala(params, vol_dev, jnp.asarray(pos_np)))   # no pad

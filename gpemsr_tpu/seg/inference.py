@@ -73,12 +73,23 @@ def evaluate_segmentation(apply_fn, raw_volume: np.ndarray,
 
     t0 = time.time()
     vol = raw_volume.astype(np.float32) / 255.0
-    output_affs = tiled_infer(apply_fn, vol, proto,
-                              out_channels=cfg.model.output_nc,
-                              params=params, fetch_dtype=fetch_dtype)
+    # u8 fetch: affinities quantized to u8 on device (fine for the waterz
+    # scores — its queue is 256-bin discretized) + the watershed boundary
+    # computed on device from the f32 affinities, fetched f16 (u8 is too
+    # coarse for seed geometry). ~262 MB vs f16's ~314 MB vs f32's ~845 MB.
+    fetch_u8 = fetch_dtype is np.uint8 or fetch_dtype == np.dtype(np.uint8)
+    boundary = None
+    if fetch_u8:
+        output_affs, boundary = tiled_infer(
+            apply_fn, vol, proto, out_channels=cfg.model.output_nc,
+            params=params, fetch_dtype=np.uint8, fetch_boundary=True)
+    else:
+        output_affs = tiled_infer(apply_fn, vol, proto,
+                                  out_channels=cfg.model.output_nc,
+                                  params=params, fetch_dtype=fetch_dtype)
     infer_time = time.time() - t0
 
-    fragments = watershed(output_affs, "maxima_distance")
+    fragments = watershed(output_affs, "maxima_distance", boundary=boundary)
     segmentation = native.agglomerate(fragments, output_affs,
                                       threshold=cfg.waterz_threshold,
                                       bins=cfg.discretize_queue,

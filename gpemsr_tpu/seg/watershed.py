@@ -43,17 +43,23 @@ def get_seeds(boundary: np.ndarray, method: str = "maxima_distance",
 
 
 def watershed(affs: np.ndarray, seed_method: str = "maxima_distance",
-              workers: int | None = None) -> np.ndarray:
+              workers: int | None = None,
+              boundary: np.ndarray | None = None) -> np.ndarray:
     """affs [3, Z, Y, X] -> uint64 fragments [Z, Y, X].
 
     Slices are independent (per-z seeds + 2-D flood with globally unique id
     offsets), so they run on a thread pool — the native calls release the
     GIL. Results are identical for any `workers` (default: cpu count): seed
     ids per slice are a deterministic offset of the single-slice labels, and
-    each flood only reads its own slice."""
+    each flood only reads its own slice.
+
+    boundary: optional precomputed boundary map [Z, Y, X] (e.g. computed on
+    device from pre-quantization affinities — tiled_infer(fetch_boundary=
+    True)); defaults to 1 - 0.5*(affs[1] + affs[2]) from `affs`."""
     from concurrent.futures import ThreadPoolExecutor
 
-    affs_xy = 1.0 - 0.5 * (affs[1] + affs[2])
+    affs_xy = boundary if boundary is not None \
+        else 1.0 - 0.5 * (affs[1] + affs[2])
     depth = affs_xy.shape[0]
     fragments = np.zeros(affs_xy.shape, np.uint64)
     if workers is None:

@@ -43,6 +43,12 @@ def main():
                         "dominant transfer; measured VOI delta -0.012 "
                         "(noise-level, scripts/bench_seg_fetch.py). "
                         "--no-fetch-f16 restores the f32 fetch")
+    p.add_argument("--fetch-u8", action="store_true",
+                   help="fetch affinities as u8 (waterz queue is 256-bin "
+                        "discretized anyway) + the watershed boundary map "
+                        "computed on device and fetched f16 — ~262 MB vs "
+                        "f16's ~314 MB; guard deltas in "
+                        "scripts/bench_seg_fetch.py")
     args = p.parse_args()
     cfg = load_yaml(args.cfg, SegConfig)
     if args.test_split:
@@ -95,10 +101,11 @@ def main():
                                       cfg.data.label_file),
                          cfg.data.test_split)
     out_dir = args.out or os.path.join("Result", cfg.model.model_type)
+    fdt = np.uint8 if args.fetch_u8 else (
+        np.float16 if args.fetch_f16 else None)
     scores = evaluate_segmentation(apply_fn, raw, labels, cfg, out_dir,
                                    show=args.show, params=variables,
-                                   fetch_dtype=(np.float16 if args.fetch_f16
-                                                else None))
+                                   fetch_dtype=fdt)
     print(scores.line())
 
 

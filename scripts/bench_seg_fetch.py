@@ -1,14 +1,14 @@
-"""Measure the f16 affinity-fetch option end-to-end (VERDICT r2 #6).
+"""Measure the affinity-fetch options end-to-end (VERDICT r2 #6 / r3 #6).
 
 Runs the full seg protocol (tiled affinities -> watershed -> waterz ->
-VOI/ARAND, reference roles inference_seg.py:108-167) twice on the same
-volume and seg net — once fetching affinities as f32, once as f16
-(run_seg_eval.py --fetch-f16) — and prints wall-clock plus the VOI/ARAND
-deltas. The device->host fetch dominates protocol time on low-bandwidth
-links (~845 MB f32 for 50x1024^2), so f16 halves the dominant term; this
-script provides the measured quality guard for that trade.
+VOI/ARAND, reference roles inference_seg.py:108-167) on the same volume and
+seg net once per fetch mode — f32, f16 (run_seg_eval.py --fetch-f16), and
+u8 + device-computed f16 boundary (--fetch-u8) — and prints wall-clock plus
+the VOI/ARAND deltas vs the f32 run. The device->host fetch dominates
+protocol time on low-bandwidth links (~845 MB f32 for 50x1024^2); this
+script provides the measured quality guard for those trades.
 
-Usage: python scripts/bench_seg_fetch.py [--volume hr|sr]
+Usage: python scripts/bench_seg_fetch.py [--volume hr|sr] [--skip-f32]
 """
 
 from __future__ import annotations
@@ -51,8 +51,9 @@ def main():
     apply_fn = jax.jit(lambda x: model.apply(variables, x))
 
     from PIL import Image
+    suffix = os.environ.get("GPEMSR_BASELINE_SUFFIX", "_v2")
     img_dir = os.path.join(data, "test",
-                           "SR_v2/x16" if use_sr else "HR")
+                           f"SR{suffix}/x16" if use_sr else "HR")
     ids = sorted(int(os.path.splitext(f)[0]) for f in os.listdir(img_dir)
                  if f.endswith(".png"))
     vol = np.stack([np.asarray(Image.open(
@@ -60,8 +61,11 @@ def main():
     labels = load_labels(os.path.join(data, "test", "labels.h5"),
                          test_split=vol.shape[0])
 
+    modes = [("f32", None), ("f16", np.float16), ("u8", np.uint8)]
+    if "--skip-f32" in sys.argv:      # the f32 run alone is ~1 min of fetch
+        modes = modes[1:]
     rows = {}
-    for name, fdt in (("f32", None), ("f16", np.float16)):
+    for name, fdt in modes:
         t0 = time.perf_counter()
         s = evaluate_segmentation(apply_fn, vol, labels, cfg,
                                   fetch_dtype=fdt)
@@ -72,8 +76,12 @@ def main():
                       "infer_s": round(s.inference_time, 1),
                       "protocol_s": round(time.perf_counter() - t0, 1)}
         print(name, rows[name], flush=True)
-    rows["delta"] = {k: round(rows["f16"][k] - rows["f32"][k], 4)
-                     for k in ("voi_sum", "arand")}
+    base = "f32" if "f32" in rows else "f16"
+    for name in rows:
+        if name != base:
+            rows[f"delta_{name}"] = {
+                k: round(rows[name][k] - rows[base][k], 4)
+                for k in ("voi_sum", "arand")}
     print(json.dumps(rows))
 
 

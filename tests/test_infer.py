@@ -69,6 +69,36 @@ def test_tiled_infer_fetch_f16_close(rng):
     assert np.abs(a32 - a16).max() < 7e-4
 
 
+def test_tiled_infer_fetch_u8_with_device_boundary(rng):
+    """u8 affinity fetch + device-computed f16 boundary (the --fetch-u8
+    protocol): affinities within u8's 1/255 quantum of the f32 run, the
+    boundary within f16 resolution of 1 - 0.5*(a[1]+a[2]) computed from the
+    UNquantized affinities, and watershed(boundary=...) == watershed on the
+    f32 affinities."""
+    from gpemsr_tpu.seg.watershed import watershed
+
+    vol = rng.uniform(0, 1, (10, 32, 32)).astype(np.float32)
+    proto = small_proto()
+    a32 = tiled_infer(jax.jit(_mean_apply), vol, proto, batch=4)
+    a8, bdry = tiled_infer(jax.jit(_mean_apply), vol, proto, batch=4,
+                           fetch_dtype=np.uint8, fetch_boundary=True)
+    assert a8.dtype == np.float32 and bdry.dtype == np.float32
+    assert a8.shape == a32.shape and bdry.shape == a32.shape[1:]
+    # u8 clamps to [0,1]; real affinities are sigmoided so only the toy
+    # model's base+0.2 channel exceeds it
+    assert np.abs(np.clip(a32, 0, 1) - a8).max() <= 0.5 / 255 + 1e-6
+    want_b = 1.0 - 0.5 * (a32[1] + a32[2])
+    assert np.abs(bdry - want_b).max() < 7e-4
+    # boundary= plumbing: an exact boundary must reproduce the default path
+    # bit-for-bit regardless of the (u8) affinities passed alongside. (The
+    # f16-rounded boundary legitimately shifts fragment ids on random
+    # fields; its end-to-end quality guard is the VOI delta in
+    # scripts/bench_seg_fetch.py.)
+    np.testing.assert_array_equal(
+        watershed(a8, "maxima_distance", boundary=want_b),
+        watershed(a32, "maxima_distance"))
+
+
 def test_tiled_infer_mala_geometry(rng):
     # valid-conv protocol: output crop maps onto the unpadded volume
     proto = TileProtocol(crop=(9, 20, 20), stride=(5, 8, 8), pad=(2, 6, 6),
