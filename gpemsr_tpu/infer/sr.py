@@ -38,11 +38,13 @@ def sr_stack_streaming(model, params, lr_stack: np.ndarray, n_frames: int = 5,
         collected predicate comes back with the outputs (fetched per section
         anyway) and a miss re-dispatches that section through the exact
         gather path (ops/guard.py::with_host_guards). Identical outputs for
-        arbitrary flows/offsets; fastest steady state (conds are fusion
-        barriers — at x8's 128^2 maps they cost ~35% of device time).
+        arbitrary flows/offsets, and it enables the one-deep dispatch-ahead
+        pipeline below (device computes section z+1 while the host fetches
+        + encodes section z).
       * "defer": one whole-forward lax.cond (with_deferred_guards).
       * "percall": a lax.cond at every windowed dispatch.
-    defer_guards=True is back-compat for guard_mode="defer"."""
+    Measured device throughput differs ≤2% (x16) / ≤6% (x8) between modes
+    (docs/STATUS.md r4); defer_guards=True is back-compat for "defer"."""
     import jax
 
     from gpemsr_tpu.ops import guard
