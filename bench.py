@@ -95,6 +95,9 @@ def main():
         if a.startswith("--window-radius="):
             cfg = dataclasses.replace(
                 cfg, dcn_window_radius=int(a.split("=")[1]))
+        if a.startswith("--cascade-radius="):
+            cfg = dataclasses.replace(
+                cfg, dcn_cascade_window_radius=int(a.split("=")[1]))
     model = GPEMSR(cfg)
     h = w = 1024 // scale          # full-section LR size
     lq0 = jnp.zeros((1, 5, 16, 16, 1), jnp.float32)

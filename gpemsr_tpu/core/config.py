@@ -118,9 +118,27 @@ class GPEMSRConfig:
     # larger maps take the Pallas windowed kernel when radius > 0 (TPU only,
     # exact-guarded with a gather fallback) else the slab-gather path.
     # Profiled on v5e at the 64x64 L1 level: slab 28.9 ms, dense 13.7 ms,
-    # windowed r=4 7.5 ms per call.
-    dcn_dense_threshold: int = 1024
+    # windowed r=4 7.5 ms per call. Threshold 512 keeps every training-crop
+    # map (GT 256^2 -> LR 16^2: L1 256px, L2 64px) on the dense one-hot path
+    # while full-section serving (x16: L2 32^2=1024px; x8: L2 64^2, L3 32^2)
+    # takes the windowed kernel — an r4 trace measured the dense L2 einsum at
+    # 2.29 ms/section, as costly as the windowed L1 at 4x the pixels.
+    dcn_dense_threshold: int = 512
     dcn_window_radius: int = 4
+    # L3/L2 align against flow-guided offsets that the coarse pyramid has
+    # already mostly absorbed: the trained-v3 radius probe measured per-call
+    # needs of (2,2) at L3 and L2 vs (4,4) at L1 over 1024^2 serving sections
+    # (scripts/radius_sweep.py --offline --dense-threshold 128). Guards fall
+    # back to the exact path on any content that exceeds the window.
+    dcn_coarse_window_radius: int = 2
+    # The cascade DCN refines features the L1 DCN already aligned, so its
+    # residual offsets are small by construction: a radius-probe of the
+    # trained v3 checkpoint over 1024^2 serving sections measured per-call
+    # needs of (4, 4) for L1_dcn but only (2, 2) for cas_dcn
+    # (scripts/radius_sweep.py --offline). r=2 runs the cascade's windowed
+    # kernel over 25 shifts instead of 81; the exactness guard still falls
+    # back to the gather path on any content that exceeds it.
+    dcn_cascade_window_radius: int = 2
     prior: PriorConfig = field(default_factory=PriorConfig)
 
 

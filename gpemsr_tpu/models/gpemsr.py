@@ -38,7 +38,10 @@ class DCNPack(nn.Module):
     def __call__(self, x, feat):
         K = 9
         G = self.groups
-        out = Conv(3 * G * K, name="conv_offset")(feat)
+        # zero-initialized like basicsr DCNv2Pack.init_offset (weight+bias=0):
+        # the DCN starts as a plain 3x3 conv with mask sigmoid(0)=0.5, and
+        # offsets grow from zero during training
+        out = Conv(3 * G * K, name="conv_offset", zero_init=True)(feat)
         o1, o2, mask = jnp.split(out, 3, axis=-1)
         offset = jnp.concatenate([o1, o2], axis=-1)
         mask = jax.nn.sigmoid(mask)
@@ -77,11 +80,18 @@ class POD(nn.Module):
     groups: int = 8
     dense_threshold: int = 1024
     window_radius: int = 0
+    # cascade refinement sees pre-aligned features -> small offsets; a
+    # trained-checkpoint radius probe measured (2, 2) vs (4, 4) at L1
+    # (core/config.py::dcn_cascade_window_radius)
+    cascade_window_radius: int = 0
+    # L3/L2 likewise probe at (2, 2) (core/config.py::dcn_coarse_window_radius)
+    coarse_window_radius: int = 0
 
-    def _dcn(self, name):
+    def _dcn(self, name, radius=None):
         return DCNPack(self.nf, self.groups, name=name,
                        dense_threshold=self.dense_threshold,
-                       window_radius=self.window_radius)
+                       window_radius=(self.window_radius if radius is None
+                                      else radius))
 
     @nn.compact
     def __call__(self, nbr_fea_l, ref_fea_l, nbr_frame, ref_frame, spynet: SpyNet):
@@ -104,7 +114,7 @@ class POD(nn.Module):
             [nbr_fea_l[2], ref_fea_l[2], f1_l3, f2_l3, nbr_l3, ref_l3], axis=-1)
         l3_off = lrelu(Conv(self.nf, name="L3_offset_conv1")(l3_in))
         l3_off = lrelu(Conv(self.nf, name="L3_offset_conv2")(l3_off))
-        l3_fea = lrelu(self._dcn("L3_dcn")(
+        l3_fea = lrelu(self._dcn("L3_dcn", radius=self.coarse_window_radius)(
             nbr_fea_l[2], l3_off))
 
         # L2
@@ -115,7 +125,8 @@ class POD(nn.Module):
         l2_off = lrelu(Conv(self.nf, name="L2_offset_conv2")(
             jnp.concatenate([l2_off, l3_off_up * 2], axis=-1)))
         l2_off = lrelu(Conv(self.nf, name="L2_offset_conv3")(l2_off))
-        l2_fea = self._dcn("L2_dcn")(nbr_fea_l[1], l2_off)
+        l2_fea = self._dcn("L2_dcn",
+                           radius=self.coarse_window_radius)(nbr_fea_l[1], l2_off)
         l3_fea_up = interpolate(l3_fea, 2.0)
         l2_fea = lrelu(Conv(self.nf, name="L2_fea_conv")(
             jnp.concatenate([l2_fea, l3_fea_up], axis=-1)))
@@ -137,7 +148,8 @@ class POD(nn.Module):
         cas = jnp.concatenate([l1_fea, ref_fea_l[0]], axis=-1)
         cas = lrelu(Conv(self.nf, name="cas_offset_conv1")(cas))
         cas = lrelu(Conv(self.nf, name="cas_offset_conv2")(cas))
-        return lrelu(self._dcn("cas_dcn")(l1_fea, cas))
+        return lrelu(self._dcn("cas_dcn",
+                               radius=self.cascade_window_radius)(l1_fea, cas))
 
 
 class ThreeDA(nn.Module):
@@ -221,7 +233,9 @@ class GPEMSR(nn.Module):
             self.vgg = VGG19Features(max_layer="relu1_2")
         self.align = POD(nf=c.nf, groups=c.groups,
                  dense_threshold=c.dcn_dense_threshold,
-                 window_radius=c.dcn_window_radius)
+                 window_radius=c.dcn_window_radius,
+                 cascade_window_radius=c.dcn_cascade_window_radius,
+                 coarse_window_radius=c.dcn_coarse_window_radius)
         self.fusion = ThreeDA(nf=c.nf, nframes=c.nframes, center=c.nframes // 2)
 
     @nn.compact

@@ -18,19 +18,26 @@ def lrelu(x, slope: float = 0.1):
 
 
 class Conv(nn.Module):
-    """3x3/1x1/kxk conv, stride s, zero 'same-like' torch padding p."""
+    """3x3/1x1/kxk conv, stride s, zero 'same-like' torch padding p.
+
+    zero_init: initialize kernel AND bias to zero — basicsr's DCNv2Pack
+    convention for the offset-predicting conv (init_offset zeroes it so the
+    DCN starts as a plain conv); used by DCNPack.conv_offset for parity."""
     features: int
     kernel: int = 3
     stride: int = 1
     pad: int = 1
     use_bias: bool = True
+    zero_init: bool = False
 
     @nn.compact
     def __call__(self, x):
+        kw = ({"kernel_init": nn.initializers.zeros}
+              if self.zero_init else {})
         return nn.Conv(self.features, (self.kernel, self.kernel),
                        strides=(self.stride, self.stride),
                        padding=[(self.pad, self.pad)] * 2,
-                       use_bias=self.use_bias, name="conv")(x)
+                       use_bias=self.use_bias, name="conv", **kw)(x)
 
 
 class _TorchConvParams(nn.Module):

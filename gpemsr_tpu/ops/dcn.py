@@ -67,7 +67,15 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
     B, H, W, Cin = x.shape
     if window_radius > 0 and H * W > dense_threshold:
         from gpemsr_tpu.ops import dcn_pallas, guard
-        if ((jax.default_backend() == "tpu" or dcn_pallas.INTERPRET)
+        if guard.probing():
+            # radius-probe mode (guard.with_radius_probe): record the minimum
+            # window radius these operands require, compute via the exact
+            # gather path — backend-agnostic, used to size the serving window
+            # for a trained checkpoint without occupying the TPU.
+            guard.record_needed(dcn_pallas.window_needed_radius(
+                offset, mask, kernel_size=kernel_size, padding=padding,
+                deformable_groups=deformable_groups, H=H, W=W))
+        elif ((jax.default_backend() == "tpu" or dcn_pallas.INTERPRET)
                 and not guard.forcing_exact()):
             sd = x.dtype if sample_dtype is None else sample_dtype
             if guard.deferring():

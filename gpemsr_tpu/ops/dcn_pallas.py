@@ -256,3 +256,33 @@ def window_ok(offset, mask, kernel_size=3, padding=1, deformable_groups=8,
     okx = ((((rx >= -Rv) & (rx <= Rv)) | (wx0 == 0)) &
            (((rx + 1 >= -Rv) & (rx + 1 <= Rv)) | (wx1 == 0)))
     return jnp.all(oky & okx)
+
+
+def window_needed_radius(offset, mask, kernel_size=3, padding=1,
+                         deformable_groups=8, H=None, W=None):
+    """Smallest (Ry, Rx) for which `window_ok` holds, as an int32 [2] vector
+    (window_ok uses one symmetric radius = the max of the two; the kernel
+    itself supports Ru != Rv, so per-axis sizing is available if a trained
+    model's flows turn out anisotropic).
+
+    Same geometry and zero-weight exemptions as `window_ok`: a corner only
+    constrains R when its folded bilinear weight is non-zero. Pure jnp (no
+    Pallas), so it runs on any backend — `scripts/radius_sweep.py --offline`
+    uses it to size the serving window for a trained checkpoint on CPU while
+    the TPU is busy."""
+    H = H if H is not None else offset.shape[1]
+    W = W if W is not None else offset.shape[2]
+    ry, rx, fy, fx, vy0, vy1, vx0, vx1 = _geometry(
+        offset, H, W, kernel_size, padding)
+    m = (jnp.ones_like(fy) if mask is None
+         else mask.astype(jnp.float32).reshape(ry.shape))
+    wy0 = (1 - fy) * vy0 * m
+    wy1 = fy * vy1 * m
+    wx0 = (1 - fx) * vx0
+    wx1 = fx * vx1
+    zero = jnp.zeros_like(ry)
+    needy = jnp.maximum(jnp.where(wy0 != 0, jnp.abs(ry), zero),
+                        jnp.where(wy1 != 0, jnp.abs(ry + 1), zero))
+    needx = jnp.maximum(jnp.where(wx0 != 0, jnp.abs(rx), zero),
+                        jnp.where(wx1 != 0, jnp.abs(rx + 1), zero))
+    return jnp.stack([jnp.max(needy), jnp.max(needx)]).astype(jnp.int32)

@@ -113,6 +113,46 @@ def with_forced_exact(fn):
     return wrapped
 
 
+_PROBE_STACK: list[list] = []
+
+
+def probing() -> bool:
+    """True while tracing inside a `with_radius_probe` wrapper."""
+    return bool(_PROBE_STACK)
+
+
+def record_needed(r) -> None:
+    """Called by windowed dispatch sites in probe mode with the scalar
+    minimum window radius their current operands require."""
+    _PROBE_STACK[-1].append(r)
+
+
+def with_radius_probe(fn):
+    """Measurement variant for sizing the serving window of a trained
+    checkpoint: every windowed-capable DCN dispatch inside `fn` computes
+    via the exact gather path (so it runs on ANY backend, CPU included)
+    while recording the minimum window radius its offsets require.
+    `wrapped(*args) -> (fn(*args), needed)` with `needed` an int32
+    [n_calls, 2] array of per-dispatch (Ry, Rx) minimums in trace order —
+    per-call because the L1 and cascade DCNs may need different windows,
+    per-axis because the kernel supports Ru != Rv. The smallest SYMMETRIC
+    `dcn_window_radius` passing every guard is `needed.max()`. Shape
+    [0, 2] if `fn` contains no windowed-capable dispatches."""
+    @wraps(fn)
+    def wrapped(*args):
+        needs: list = []
+        _PROBE_STACK.append(needs)
+        try:
+            out = fn(*args)
+        finally:
+            _PROBE_STACK.pop()
+        needed = (jnp.stack(needs) if needs
+                  else jnp.zeros((0, 2), jnp.int32))
+        return out, needed
+
+    return wrapped
+
+
 def with_deferred_guards(fn):
     """Wrap an inference fn so its windowed kernels run unguarded, with ONE
     lax.cond swapping in a full exact recompute when any guard failed.

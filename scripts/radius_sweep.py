@@ -15,7 +15,15 @@ make the default for serving that checkpoint.
 
 Usage:
   python scripts/radius_sweep.py --ckpt runs/baseline_v3/baseline_stage3/checkpoints \
-      --lr-dir dataset/synth/test/LR [--radii 4,3,2,1] [--x8]
+      --lr-dir dataset/synth/test/LR [--radii 4,3,2,1] [--x8] [--offline]
+
+--offline measures instead of sweeping: ONE pass in radius-probe mode
+(ops/guard.py::with_radius_probe) computes every DCN via the exact gather
+path while recording the minimum window radius its offsets require, and
+reports the per-section maximum. Backend-agnostic (JAX_PLATFORMS=cpu works),
+so the serving radius can be sized while the TPU is busy training. Covers
+the DCN windows only — the SpyNet flow-warp window guard is separate and
+unaffected by dcn_window_radius.
 """
 
 from __future__ import annotations
@@ -67,6 +75,33 @@ def main():
                       for i in ids], 0)
     Z = stack.shape[0]
     stack_dev = jnp.asarray(stack)
+
+    if "--offline" in sys.argv:
+        cfg = GPEMSRConfig(scale=scale, prior=PriorConfig(scale=scale))
+        if "--dense-threshold" in sys.argv:
+            cfg = dataclasses.replace(
+                cfg, dcn_dense_threshold=int(
+                    sys.argv[sys.argv.index("--dense-threshold") + 1]))
+        model = GPEMSR(cfg)
+        win = jax.jit(guard.with_radius_probe(bf16_inference(
+            lambda p, x: model.apply(p, x)[0], params)))
+        per_section = []
+        for z in range(Z):
+            idxs = window_indices(z, Z, cfg.nframes)
+            lq = jnp.take(stack_dev, jnp.asarray(idxs), axis=0)[None]
+            _sr, needed = win(lq)
+            needed = np.asarray(needed)          # [n_calls, (Ry, Rx)]
+            per_section.append(needed.tolist())
+            print(f"section {z}: needed (Ry, Rx) per call "
+                  f"{needed.tolist()}", flush=True)
+        agg = np.max(np.asarray(per_section), axis=0)
+        print(json.dumps({
+            "sections": Z,
+            "max_needed_radius": int(np.max(agg)) if agg.size else -1,
+            "per_call_yx_max": agg.tolist(),
+            "per_section": per_section,
+        }))
+        return
 
     results = {}
     for r in radii:

@@ -163,3 +163,51 @@ def test_context_flags_restore_on_error():
     with pytest.raises(RuntimeError):
         guard.with_deferred_guards(boom)(jnp.zeros(()))
     assert not guard.deferring() and not guard.forcing_exact()
+
+
+def test_needed_radius_consistent_with_window_ok(rng):
+    # window_ok(r) must hold exactly for r >= window_needed_radius — pinned
+    # over random offsets at several magnitudes, including exactly-integer
+    # offsets (whose +1 corner sits one past the floor displacement).
+    for off_scale in (0.5, 2.0, 5.0):
+        _x, offset, mask, _w, _b = _dcn_case(rng, off_scale=off_scale)
+        need = int(jnp.max(dcn_pallas.window_needed_radius(
+            offset, mask, deformable_groups=4, H=8, W=8)))
+        for r in range(max(need - 2, 1), need + 3):
+            assert bool(dcn_pallas.window_ok(
+                offset, mask, deformable_groups=4, radius=r, H=8, W=8)
+            ) == (r >= need), (off_scale, need, r)
+    # exactly-integer offset: all weight on corner 0 (|ry| = 3), the +1
+    # corner carries zero weight and is exempt — need is 3, not 4
+    _x, offset, mask, _w, _b = _dcn_case(rng, off_scale=0.0)
+    offset = offset.at[0, 3, 3, 0].set(4.0)   # dy for (g0, k0): py = 3.0
+    need_yx = np.asarray(dcn_pallas.window_needed_radius(
+        offset, mask, deformable_groups=4, H=8, W=8))
+    need = int(need_yx.max())
+    assert need == 3
+    assert need_yx[0] == 3 and need_yx[1] <= 1   # pure-dy displacement
+    assert bool(dcn_pallas.window_ok(offset, mask, deformable_groups=4,
+                                     radius=3, H=8, W=8))
+    assert not bool(dcn_pallas.window_ok(offset, mask, deformable_groups=4,
+                                         radius=2, H=8, W=8))
+
+
+def test_radius_probe_records_and_matches_exact(rng):
+    # Probe mode: exact-gather output, max needed radius returned; works
+    # without a TPU and without interpret mode.
+    args = _dcn_case(rng, off_scale=2.0)
+    probed = guard.with_radius_probe(_dcn)
+    out, needed = probed(*args)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_dcn_exact(*args)),
+                               rtol=1e-5, atol=1e-5)
+    x, offset, mask, w, b = args
+    assert needed.shape == (1, 2)
+    np.testing.assert_array_equal(
+        np.asarray(needed[0]),
+        np.asarray(dcn_pallas.window_needed_radius(
+            offset, mask, deformable_groups=4, H=8, W=8)))
+    assert not guard.probing()
+    # no windowed-capable dispatches -> empty [0, 2]
+    _out, none_needed = guard.with_radius_probe(lambda t: t * 2)(jnp.ones(3))
+    assert none_needed.shape == (0, 2)
