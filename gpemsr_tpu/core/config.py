@@ -222,6 +222,10 @@ class ParallelConfig:
     # optimizer state are untouched; losses/reductions stay f32). Inference
     # has its own opt-in wrapper (utils/precision.bf16_inference).
     compute_dtype: str = "float32"
+    # ship train batches host->device as u8 and normalize on device (4x less
+    # transfer). Exact only for PNG-derived [0,1] data under crop/flip
+    # augmentation (pixels stay k/255), hence opt-in.
+    u8_transfer: bool = False
 
 
 @dataclass

@@ -21,10 +21,49 @@ import json
 import os
 import posixpath
 import struct
+import threading
 
 import numpy as np
 
 MAGIC = b"EMPACK01"
+
+
+class _ImgCache:
+    """Byte-bounded FIFO cache of decoded images, shared by all FS instances.
+
+    EM SR training rereads a small set of sections constantly (the ratio-200
+    epoch-enlarged sampler draws the same slices thousands of times,
+    data/data_sampler.py:7-60 semantics), so PNG decode dominates host time
+    on small-core hosts. Cached arrays are returned read-only; every dataset
+    consumer crops/flips via views and copies with ascontiguousarray before
+    mutation. Bound via GPEMSR_IMG_CACHE_MB (0 disables)."""
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = max_bytes
+        self._d: dict[str, np.ndarray] = {}
+        self._bytes = 0
+        self._lock = threading.Lock()
+
+    def get(self, key: str):
+        with self._lock:
+            return self._d.get(key)
+
+    def put(self, key: str, arr: np.ndarray):
+        if arr.nbytes > self.max_bytes:
+            return
+        arr.setflags(write=False)
+        with self._lock:
+            if key in self._d:
+                return
+            while self._bytes + arr.nbytes > self.max_bytes and self._d:
+                old = self._d.pop(next(iter(self._d)))   # oldest entry
+                self._bytes -= old.nbytes
+            self._d[key] = arr
+            self._bytes += arr.nbytes
+
+
+_img_cache = _ImgCache(
+    int(float(os.environ.get("GPEMSR_IMG_CACHE_MB", "512")) * 1e6))
 
 
 def write_pack(src_root: str, pack_path: str,
@@ -112,7 +151,12 @@ class TreeFS:
 
     def read_img(self, rel: str) -> np.ndarray:
         from gpemsr_tpu.utils.image import read_img
-        return read_img(self._p(rel))
+        key = f"{self.root}::{rel}"
+        img = _img_cache.get(key)
+        if img is None:
+            img = read_img(self._p(rel))
+            _img_cache.put(key, img)
+        return img
 
 
 class PackFS:
@@ -133,8 +177,13 @@ class PackFS:
         from PIL import Image
 
         from gpemsr_tpu.utils.image import to_float_img
-        return to_float_img(np.asarray(Image.open(
-            io.BytesIO(self.pack.read(rel)))))
+        key = f"{self.pack.path}::{rel}"
+        img = _img_cache.get(key)
+        if img is None:
+            img = to_float_img(np.asarray(Image.open(
+                io.BytesIO(self.pack.read(rel)))))
+            _img_cache.put(key, img)
+        return img
 
 
 def get_fs(root: str):

@@ -63,6 +63,24 @@ def sharded_map(fwd, inputs, mesh):
     return outs
 
 
+def _quantize_u8(batch):
+    """Exact u8 re-quantization of PNG-derived [0,1] float batches for the
+    host->device transfer. Crop/flip-only augmentation keeps every pixel at
+    k/255, so rint(x*255) is lossless here and the transfer shrinks 4x —
+    decisive when the device link is a slow relay. Opt-in via
+    parallel.u8_transfer (real-valued pipelines must keep f32)."""
+    return jax.tree.map(
+        lambda a: np.rint(np.asarray(a) * np.float32(255)).astype(np.uint8)
+        if np.asarray(a).dtype == np.float32 else a, batch)
+
+
+@jax.jit
+def _dequantize_u8(batch):
+    return jax.tree.map(
+        lambda a: a.astype(jnp.float32) / 255.0
+        if a.dtype == jnp.uint8 else a, batch)
+
+
 def quarter_tiles(img: np.ndarray):
     """Split ...HWC into 4 quadrants (train_stage2.py:229-257 protocol)."""
     H, W = img.shape[-3], img.shape[-2]
@@ -206,8 +224,14 @@ def run_stage1(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1):
                              os.path.join(vis_dir, "original", f"{i}.png"))
         return {"psnr_avg": float(np.mean(psnrs))}
 
+    u8 = cfg.parallel.u8_transfer
+
     def train_step(step, batch):
-        return trainer.train_step(host_shard_batch(batch, mesh))
+        if u8:
+            batch = _dequantize_u8(host_shard_batch(_quantize_u8(batch), mesh))
+        else:
+            batch = host_shard_batch(batch, mesh)
+        return trainer.train_step(batch)
 
     def pack():
         return {"g": jax.device_get(trainer.g_state.params),
@@ -274,11 +298,20 @@ def run_stage2(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
             psnrs.append(psnr_of(full, gt))
         return {"psnr_avg": float(np.mean(psnrs))}
 
+    u8 = cfg.parallel.u8_transfer
+
     def train_step(step, batch):
-        gt, lr = host_shard_batch(batch, mesh)
+        if u8:
+            batch = _dequantize_u8(host_shard_batch(_quantize_u8(batch), mesh))
+        else:
+            batch = host_shard_batch(batch, mesh)
+        gt, lr = batch
         state_box["state"], m = step_fn(state_box["state"], state_box["frozen"],
                                         lr, gt)
-        return {k: float(v) for k, v in m.items()}
+        # metrics stay device arrays: float() here would sync every step and
+        # serialize host input work with device compute (runner floats them
+        # only at logger_freq)
+        return m
 
     def pack():
         s = state_box["state"]
@@ -349,11 +382,16 @@ def run_stage3(cfg: ExperimentConfig, host_id: int = 0, host_count: int = 1,
             psnrs.append(psnr_of(full, gt))
         return {"psnr_avg": float(np.mean(psnrs))}
 
+    u8 = cfg.parallel.u8_transfer
+
     def train_step(step, batch):
-        batch = host_shard_batch(batch, mesh)
+        if u8:
+            batch = _dequantize_u8(host_shard_batch(_quantize_u8(batch), mesh))
+        else:
+            batch = host_shard_batch(batch, mesh)
         state_box["state"], m = step_fn(state_box["state"], state_box["frozen"],
                                         batch["LQ"], batch["GT"])
-        return {k: float(v) for k, v in m.items()}
+        return m                     # floated only at logger_freq (see stage 2)
 
     def pack():
         s = state_box["state"]

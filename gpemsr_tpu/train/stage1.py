@@ -177,9 +177,11 @@ class Stage1Trainer:
                                                     dead, sub)
                     self._usage = None
                     metrics["revived_codes"] = float(n_dead)
-            metrics.update({k: float(v) for k, v in g_m.items()})
+            # keep metrics as device arrays: float() would sync every step
+            # and serialize input-pipeline work with device compute
+            metrics.update(g_m)
         if gan_phase:
             d_fn = self._d_r1 if self.step % t.net_d_reg_every == 0 else self._d_plain
             self.d_state, d_m = d_fn(self.d_state, self.g_state.params, imgs)
-            metrics.update({k: float(v) for k, v in d_m.items()})
+            metrics.update(d_m)
         return metrics

@@ -68,6 +68,46 @@ def test_stage2_runner_mesh_matches_single_device(tmp_path, rng):
         np.testing.assert_allclose(a, b, atol=2e-3, rtol=0)
 
 
+def test_stage2_runner_u8_transfer_exact(tmp_path, rng):
+    """parallel.u8_transfer ships PNG-derived batches host->device as u8 and
+    normalizes on device; for crop/flip pipelines every pixel is k/255 so the
+    losses must match the f32 path exactly (same math, smaller transfer)."""
+    from gpemsr_tpu.core.config import ParallelConfig
+    from gpemsr_tpu.train.runner import run_stage2
+
+    (tmp_path / "wl.txt").write_text("volA\n")
+    for i in range(8):
+        _write_png(str(tmp_path / "HR" / "volA" / "s0" / f"{i:04d}.png"),
+                   rng.integers(0, 255, (64, 64)))
+        _write_png(str(tmp_path / "LR" / "volA" / "s0" / f"{i:04d}.png"),
+                   rng.integers(0, 255, (4, 4)))
+
+    def run(tag, u8):
+        ds = DatasetConfig(dataroot_GT=str(tmp_path / "HR"),
+                           dataroot_LQ=str(tmp_path / "LR"),
+                           chooseGTtxt=str(tmp_path / "wl.txt"),
+                           GT_size=32, batch_size=4, n_workers=1)
+        cfg = ExperimentConfig(
+            name=f"u8_{tag}", stage=2, scale=16,
+            root=str(tmp_path / "runs"), save_checkpoint_freq=10 ** 9,
+            datasets={"train": ds},
+            network=GPEMSRConfig(scale=16, prior=tiny_prior(16)),
+            train=TrainConfig(niter=3, T_period=[10], restarts=[],
+                              restart_weights=[], val_freq=10 ** 9,
+                              logger_freq=1),
+            parallel=ParallelConfig(data=1, u8_transfer=u8))
+        run_stage2(cfg)
+        return [json.loads(l) for l in
+                (tmp_path / "runs" / f"u8_{tag}" / "metrics.jsonl")
+                .read_text().splitlines()]
+
+    m_u8 = run("on", True)
+    m_f32 = run("off", False)
+    assert len(m_u8) == len(m_f32) == 3
+    for a, b in zip(m_u8, m_f32):
+        assert abs(a["ce_loss"] - b["ce_loss"]) < 1e-6, (a, b)
+
+
 @pytest.mark.slow
 def test_stage3_runner_end_to_end(tmp_path, rng):
     from gpemsr_tpu.train.runner import run_stage3
