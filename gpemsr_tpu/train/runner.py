@@ -74,10 +74,18 @@ def _quantize_u8(batch):
         if np.asarray(a).dtype == np.float32 else a, batch)
 
 
+# Correctly-rounded k/255 for every u8 value. XLA's f32 divide is not
+# correctly rounded (x/255 lands 1 ulp off numpy's for ~1/3 of inputs), so a
+# device-side divide would break the u8 path's bit-parity with the f32 path;
+# a 256-entry constant gather is exact and epsilon-cost next to a train step.
+_U8_LUT = np.arange(256, dtype=np.float32) / 255.0
+
+
 @jax.jit
 def _dequantize_u8(batch):
+    lut = jnp.asarray(_U8_LUT)
     return jax.tree.map(
-        lambda a: a.astype(jnp.float32) / 255.0
+        lambda a: jnp.take(lut, a.astype(jnp.int32), axis=0)
         if a.dtype == jnp.uint8 else a, batch)
 
 
