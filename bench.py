@@ -1,42 +1,41 @@
-"""Benchmark: GPEMSR x16 full-section SR inference throughput on one TPU chip.
+"""Benchmark: GPEMSR SR inference + training-step throughput on one TPU chip.
 
-Workload: the production z-stack streaming path (output_sr.py ->
+Default (no args — what the driver runs): a SUITE of JSON lines, one per
+metric, in this order:
+
+  sr_x16_inference_throughput   (provisional, then final)
+  sr_x8_inference_throughput
+  stage3_train_step_ms / stage1_train_step_ms / stage2_train_step_ms
+  sr_x16_inference_throughput   (headline re-emitted LAST so a line-parser
+                                 that keeps the final line records it)
+
+Any explicit flag (--x8, --batch=, --streams=, --per-window, --f32,
+--guard-mode=, --iters=, kernel overrides) switches to single-metric mode
+with exactly the old behavior.
+
+Workload (SR): the production z-stack streaming path (output_sr.py ->
 infer/sr.py::sr_stack_streaming): per new section, compute the per-frame
 feature pyramid ONCE for the incoming slice and run the window-level
-alignment/fusion/upsampling that produces one 1024x1024 SR section
-(windows share 4 of 5 frames; outputs are bit-identical to the per-window
-path — tests/test_infer.py::test_streaming_sr_matches_per_window).
+alignment/fusion/upsampling that produces one full SR section (windows share
+4 of 5 frames; outputs are bit-identical to the per-window path —
+tests/test_infer.py::test_streaming_sr_matches_per_window).
 
 Timing method: this environment reaches the chip through a relay whose
 dispatch/fetch overhead is ~30 ms and whose block_until_ready does not wait
 for remote execution, so per-dispatch timing (as in round 1) measures the
-relay, not the chip. Here the steady-state step (feats + window assembly +
-window forward) is chained data-dependently ITERS times inside ONE jit and
-fetched once; the measured empty-chain overhead is subtracted. The result is
-pure device time per section — what a production driver (which batches
-dispatches) would see.
+relay, not the chip. Here the steady-state step is chained data-dependently
+ITERS times inside ONE jit and fetched once; the measured empty-chain
+overhead is subtracted. The result is pure device time per section.
 
-vs_baseline: the repo publishes no numbers (BASELINE.md), so the baseline is
-an ESTIMATE of the reference PyTorch pipeline on A100: an EDVR-class
-multi-frame net with 4 DCN stages + VQGAN prior decode + VGG masking at
-1024^2 output, ~0.5 s/section => 2.0 MPix/s. Treat the absolute ratio as
-indicative; the measured MPix/s is the hard number.
+vs_baseline: for SR throughput, the baseline is an ESTIMATE of the reference
+PyTorch pipeline on A100 (~0.5 s/section => 2.0 MPix/s — BASELINE.md derives
+it; the A100 compute-roofline bound is 11.8 MPix/s). For train-step metrics
+there is no reference number; vs_baseline is r4's measured step time divided
+by the current one (>1 = faster than round 4, a regression anchor).
 
-Prints ONE final JSON line: {"metric", "value", "unit", "vs_baseline"}.
-A PROVISIONAL line (same schema, measured from the first rep) is printed as
-soon as the first timed repetition completes, so a driver timeout that kills
-the process mid-benchmark still leaves a parseable result on stdout — the
-final line simply overrides it when reached (round-2 lesson: BENCH_r02 was
-rc=124 with nothing printed).
-Flags: --f32 (disable bf16), --per-window (reference-style full forward per
-section), --batch=N (sections processed concurrently), --iters=N, --x8
-(bench the x8 model; metric name changes accordingly),
---guard-mode=host|defer|percall (windowed-kernel exactness guards: "host" =
-straight-line kernels with the predicate returned alongside the outputs,
-"defer" = one whole-forward lax.cond, "percall" = a cond per dispatch;
-defaults: percall at x16, defer at x8 — the fastest measured per scale;
---defer-guards is back-compat for defer).
-"""
+A PROVISIONAL x16 line is printed as soon as the first timed repetition
+completes, so a driver timeout mid-suite still leaves a parseable headline
+(round-2 lesson: BENCH_r02 was rc=124 with nothing printed)."""
 
 from __future__ import annotations
 
@@ -45,16 +44,38 @@ import sys
 import time
 
 A100_BASELINE_MPIX_S = 2.0
+# r4 measured step times (ms) — regression anchors for vs_baseline
+R4_TRAIN_MS = {3: 57.7, 1: 55.6, 2: 9.6}
+TRAIN_BATCH = {3: 2, 1: 4, 2: 8}
+
+SINGLE_MODE_FLAGS = ("--x8", "--per-window", "--f32", "--defer-guards")
+SINGLE_MODE_PREFIXES = ("--batch=", "--iters=", "--streams=", "--guard-mode=",
+                        "--dense-threshold=", "--window-radius=",
+                        "--cascade-radius=")
 
 
-def main():
+def emit(metric, value, unit, vs_baseline):
+    print(json.dumps({"metric": metric, "value": round(value, 3),
+                      "unit": unit, "vs_baseline": round(vs_baseline, 3)}),
+          flush=True)
+
+
+def _setup():
     import os
 
     import jax
-
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def bench_sr(scale=16, use_bf16=True, streaming=True, batch=1, iters=6,
+             streams=1, guard_mode=None, cfg_overrides=None,
+             provisional=True):
+    """Measure full-section SR throughput (MPix/s); emits the final line and
+    returns the value."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -62,42 +83,14 @@ def main():
     from gpemsr_tpu.models.gpemsr import GPEMSR
     from gpemsr_tpu.utils.precision import bf16_inference
 
-    use_bf16 = "--f32" not in sys.argv
-    streaming = "--per-window" not in sys.argv
-    x8 = "--x8" in sys.argv
-    batch = 1
-    iters = 6
-    streams = 1
-    for a in sys.argv[1:]:
-        if a.startswith("--batch="):
-            batch = int(a.split("=")[1])
-        if a.startswith("--iters="):
-            iters = int(a.split("=")[1])
-        if a.startswith("--streams="):
-            # N INDEPENDENT batch-1 stacks advanced alternately per step —
-            # the multi-stack serving alternative to --batch=N (which is
-            # bandwidth-bound and loses ~10%): same per-stream graphs as
-            # batch=1, aggregate throughput reported
-            streams = int(a.split("=")[1])
-
-    scale = 8 if x8 else 16
-    if x8:
+    if scale == 8:
         from gpemsr_tpu.core.config import GPEMSRConfig, PriorConfig
         cfg = GPEMSRConfig(scale=8, prior=PriorConfig(scale=8))
     else:
         cfg = _flagship_cfg()
-    # perf-experiment overrides (not the shipped defaults)
-    import dataclasses
-    for a in sys.argv[1:]:
-        if a.startswith("--dense-threshold="):
-            cfg = dataclasses.replace(
-                cfg, dcn_dense_threshold=int(a.split("=")[1]))
-        if a.startswith("--window-radius="):
-            cfg = dataclasses.replace(
-                cfg, dcn_window_radius=int(a.split("=")[1]))
-        if a.startswith("--cascade-radius="):
-            cfg = dataclasses.replace(
-                cfg, dcn_cascade_window_radius=int(a.split("=")[1]))
+    if cfg_overrides:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
     model = GPEMSR(cfg)
     h = w = 1024 // scale          # full-section LR size
     lq0 = jnp.zeros((1, 5, 16, 16, 1), jnp.float32)
@@ -126,12 +119,8 @@ def main():
     # (the fastest measured), defer at x8. sr_stack_streaming's production
     # default stays "host" — same device throughput within noise, and it
     # enables the dispatch-ahead fetch/encode overlap in the exporter.
-    guard_mode = "defer" if "--x8" in sys.argv else "percall"
-    if "--defer-guards" in sys.argv:
-        guard_mode = "defer"
-    for a in sys.argv[1:]:
-        if a.startswith("--guard-mode="):
-            guard_mode = a.split("=")[1]
+    if guard_mode is None:
+        guard_mode = "defer" if scale == 8 else "percall"
     from gpemsr_tpu.ops import guard
     if guard_mode == "host":
         win_fn = guard.with_host_guards(win_fn)     # -> (sr, ok)
@@ -143,15 +132,11 @@ def main():
     mpix = batch * (h * scale) * (w * scale) / 1e6
     metric = f"sr_x{scale}_inference_throughput"
 
-    def emit(value):
-        print(json.dumps({
-            "metric": metric,
-            "value": round(value, 3),
-            "unit": "megapixels/sec/chip",
-            "vs_baseline": round(value / A100_BASELINE_MPIX_S, 3),
-        }), flush=True)
+    def emit_sr(value):
+        emit(metric, value, "megapixels/sec/chip",
+             value / A100_BASELINE_MPIX_S)
 
-    def timed_chain(step, init, reps=2, overhead=0.0, provisional=False):
+    def timed_chain(step, init, reps=2, overhead=0.0, prov=False):
         @jax.jit
         def chained(c0):
             return jax.lax.fori_loop(0, iters, lambda i, c: step(c), c0)
@@ -165,9 +150,9 @@ def main():
             _ = float(jax.tree_util.tree_leaves(out)[0]
                       .astype(jnp.float32).sum())
             ts.append(time.perf_counter() - t0)
-            if provisional and _r == 0:
+            if prov and _r == 0:
                 # timeout insurance: a parseable result as soon as possible
-                emit(mpix / ((ts[0] - overhead) / iters))
+                emit_sr(mpix / ((ts[0] - overhead) / iters))
         return min(ts)
 
     overhead = timed_chain(lambda c: c + 1.0, jnp.ones((8, 128), jnp.float32))
@@ -230,9 +215,136 @@ def main():
         mpix *= streams
     else:
         init = (sr0, jnp.zeros((), jnp.float32))
-    t = (timed_chain(step, init, overhead=overhead, provisional=True)
+    t = (timed_chain(step, init, overhead=overhead, prov=provisional)
          - overhead) / iters
-    emit(mpix / t)
+    value = mpix / t
+    emit_sr(value)
+    return value
+
+
+def bench_train_step(stage: int, batch: int, iters: int = 8) -> float:
+    """Steady-state train-step time (ms) for one stage at reference shapes
+    (GT 256^2, LQ 16^2, N=5). Returns milliseconds; emits nothing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _flagship_cfg
+    from gpemsr_tpu.core.config import DiscriminatorConfig, TrainConfig
+
+    cfg = _flagship_cfg()
+    tcfg = TrainConfig(ref_loss_factor=0.01)
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+
+    if stage == 1:
+        from gpemsr_tpu.train.stage1 import (create_models, init_states,
+                                             make_d_step, make_g_step)
+        imgs = jnp.asarray(rng.uniform(
+            0, 1, (batch, 256, 256, 1)).astype(np.float32))
+        gen, disc = create_models(cfg.prior, DiscriminatorConfig())
+        g_state, d_state = init_states(key, gen, disc, tcfg, imgs)
+        g_step = make_g_step(gen, disc, tcfg, use_gan=True)
+        d_step = make_d_step(gen, disc, tcfg, with_r1=False)
+
+        def step_once(st):
+            g_state, d_state = st
+            g_state, _dec, gm = g_step(g_state, d_state.params, imgs)
+            d_state, dm = d_step(d_state, g_state.params, imgs)
+            return (g_state, d_state), gm["rec_loss"]
+
+        state = (g_state, d_state)
+    elif stage == 2:
+        from gpemsr_tpu.train.stage2 import init_stage2, make_stage2_step
+        lr_imgs = jnp.asarray(rng.uniform(
+            0, 1, (batch, 16, 16, 1)).astype(np.float32))
+        gt_imgs = jnp.asarray(rng.uniform(
+            0, 1, (batch, 256, 256, 1)).astype(np.float32))
+        model, state0, frozen = init_stage2(key, cfg.prior, tcfg,
+                                            lr_imgs, gt_imgs)
+        step2 = make_stage2_step(model)
+
+        def step_once(st):
+            st, m = step2(st, frozen, lr_imgs, gt_imgs)
+            return st, m["ce_loss"]
+
+        state = state0
+    else:
+        from gpemsr_tpu.train.stage3 import init_stage3, make_stage3_step
+        lq = jnp.asarray(rng.uniform(
+            0, 1, (batch, 5, 16, 16, 1)).astype(np.float32))
+        gt = jnp.asarray(rng.uniform(
+            0, 1, (batch, 256, 256, 1)).astype(np.float32))
+        model, state0, frozen = init_stage3(key, cfg, tcfg, lq)
+        step3 = make_stage3_step(model, tcfg)
+
+        def step_once(st):
+            st, m = step3(st, frozen, lq, gt)
+            return st, m["rec_loss"]
+
+        state = state0
+
+    state, loss = step_once(state)      # compile
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, loss = step_once(state)
+    _ = float(loss)                     # fetch forces the whole chain
+    return (time.perf_counter() - t0) / iters * 1000.0
+
+
+def suite():
+    """Default driver run: x16 + x8 + train-step metrics; headline last."""
+    v16 = bench_sr(scale=16)
+    try:
+        bench_sr(scale=8, provisional=False, iters=4)
+    except Exception as e:                          # noqa: BLE001
+        print(f"x8 bench failed: {e!r}", file=sys.stderr, flush=True)
+    for stage in (3, 1, 2):
+        try:
+            ms = bench_train_step(stage, TRAIN_BATCH[stage])
+            emit(f"stage{stage}_train_step_ms", ms, "ms/step",
+                 R4_TRAIN_MS[stage] / ms)
+        except Exception as e:                      # noqa: BLE001
+            print(f"stage{stage} train bench failed: {e!r}",
+                  file=sys.stderr, flush=True)
+    # headline re-emitted last (line-parsers that keep the last line)
+    emit("sr_x16_inference_throughput", v16, "megapixels/sec/chip",
+         v16 / A100_BASELINE_MPIX_S)
+
+
+def main():
+    _setup()
+    argv = sys.argv[1:]
+    single = any(a in SINGLE_MODE_FLAGS or a.startswith(SINGLE_MODE_PREFIXES)
+                 for a in argv)
+    if not single:
+        suite()
+        return
+    kw = dict(scale=8 if "--x8" in argv else 16,
+              use_bf16="--f32" not in argv,
+              streaming="--per-window" not in argv)
+    overrides = {}
+    for a in argv:
+        if a.startswith("--batch="):
+            kw["batch"] = int(a.split("=")[1])
+        if a.startswith("--iters="):
+            kw["iters"] = int(a.split("=")[1])
+        if a.startswith("--streams="):
+            kw["streams"] = int(a.split("=")[1])
+        if a.startswith("--guard-mode="):
+            kw["guard_mode"] = a.split("=")[1]
+        if a.startswith("--dense-threshold="):
+            overrides["dcn_dense_threshold"] = int(a.split("=")[1])
+        if a.startswith("--window-radius="):
+            overrides["dcn_window_radius"] = int(a.split("=")[1])
+        if a.startswith("--cascade-radius="):
+            overrides["dcn_cascade_window_radius"] = int(a.split("=")[1])
+    if "--defer-guards" in argv:
+        kw["guard_mode"] = "defer"
+    if overrides:
+        kw["cfg_overrides"] = overrides
+    bench_sr(**kw)
 
 
 if __name__ == "__main__":

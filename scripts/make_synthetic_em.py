@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 from scipy import ndimage
@@ -157,6 +160,7 @@ def main():
         with open(txt, "w") as f:
             f.write("\n".join(merged) + "\n")
         print(f"appended {names} -> {txt}")
+        _write_fingerprint(out)
         return
 
     # held-out val sections (flat single-level tree, small crops for speed)
@@ -183,7 +187,18 @@ def main():
                          compression="gzip")
     with open(os.path.join(out, "train_vqgan.txt"), "w") as f:
         f.write("\n".join(names) + "\n")
+    _write_fingerprint(out)
     print(f"test: {Z}x{S}x{S}, {n_seeds} segments -> {out}")
+
+
+def _write_fingerprint(out):
+    """Content-hash the generated tree (VERDICT r4 #3: generation drifted
+    across rounds because the generator code itself evolved — seed 0 is only
+    deterministic per code version; the fingerprint makes any drift
+    detectable instead of silent)."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import fingerprint_dataset
+    print("FINGERPRINT:", fingerprint_dataset.write(out))
 
 
 if __name__ == "__main__":

@@ -11,7 +11,14 @@ resumes training instead of restarting from scratch.
   python scripts/snapshot_artifacts.py --restore         # artifacts/ -> runs/
 
 Restore never clobbers a newer local checkpoint: if runs/ already holds a
-step >= the snapshot, the snapshot is skipped for that stage.
+step >= the snapshot, the snapshot is skipped for that stage. Save likewise
+never replaces a snapshot with a lower-step checkpoint unless --force.
+
+Repo-growth note (ADVICE r4): each snapshot round replaces ~1.5 GB of pickle
+checkpoints in the working tree; the old blobs stay in git history, so the
+repo grows by that much per snapshot. git-lfs is unavailable in this
+environment — snapshot sparingly (end of round, after a training milestone),
+and prune history if the repo ever needs slimming.
 """
 
 from __future__ import annotations
@@ -37,7 +44,7 @@ STAGES = [
 ] + [(os.path.join("runs", "baseline", "seg_superhuman"), "seg_superhuman")]
 
 
-def _copy_step(src_ckpts: str, dst_ckpts: str, step: int):
+def _copy_step(src_ckpts: str, dst_ckpts: str, step: int, prune: bool = False):
     src = os.path.join(src_ckpts, f"step_{step}")
     dst = os.path.join(dst_ckpts, f"step_{step}")
     tmp = dst + ".tmp"
@@ -47,6 +54,10 @@ def _copy_step(src_ckpts: str, dst_ckpts: str, step: int):
     if os.path.exists(dst):
         shutil.rmtree(dst)
     os.rename(tmp, dst)
+    if not prune:
+        # restore direction: never delete the destination's other local
+        # checkpoints (they are untracked and unrecoverable)
+        return
     # keep only the newest snapshot per stage — artifacts live in git history
     for s in ckpt.all_steps(dst_ckpts):
         if s != step:
@@ -54,7 +65,7 @@ def _copy_step(src_ckpts: str, dst_ckpts: str, step: int):
                           ignore_errors=True)
 
 
-def save():
+def save(force: bool = False):
     copied = []
     for run_rel, name in STAGES:
         src = os.path.join(ROOT, run_rel, "checkpoints")
@@ -63,9 +74,17 @@ def save():
             continue
         dst = os.path.join(ART, name, "checkpoints")
         os.makedirs(dst, exist_ok=True)
-        if ckpt.latest_step(dst) == step:
+        have = ckpt.latest_step(dst)
+        if have == step:
             continue
-        _copy_step(src, dst, step)
+        if have is not None and have > step and not force:
+            # no-clobber: runs/ was wiped and training restarted from scratch;
+            # replacing the higher-step snapshot with a lower one (then gc'ing
+            # it) would silently lose the better state. --force overrides.
+            print(f"{name}: snapshot @{have} > local @{step}, keeping "
+                  f"snapshot (use --force to overwrite)")
+            continue
+        _copy_step(src, dst, step, prune=True)
         copied.append(f"{name}@{step}")
     results = os.path.join(ROOT, "runs", "baseline" + SUFFIX, "RESULTS.json")
     if os.path.exists(results):
@@ -105,5 +124,8 @@ if __name__ == "__main__":
     g = p.add_mutually_exclusive_group(required=True)
     g.add_argument("--save", action="store_true")
     g.add_argument("--restore", action="store_true")
+    p.add_argument("--force", action="store_true",
+                   help="save: overwrite a snapshot even when it holds a "
+                        "higher step than the local run")
     a = p.parse_args()
-    save() if a.save else restore()
+    save(force=a.force) if a.save else restore()

