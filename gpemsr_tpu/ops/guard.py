@@ -26,56 +26,64 @@ Deferred mode is inference-only: it bypasses the custom_vjp that makes the
 per-call guarded DCN differentiable. Training code paths never enter
 `collect()`, so they are unaffected.
 
-The context flags are plain module globals: tracing is single-threaded here,
-and the flags only matter at trace time (the traced program is fixed
-afterwards).
+The context flags are thread-local: two exporters tracing concurrently in
+one process (e.g. two streaming hosts sharing a process) each see their own
+guard state. The flags only matter at trace time (the traced program is
+fixed afterwards).
 """
 
 from __future__ import annotations
 
 import contextlib
+import threading
 from functools import reduce, wraps
 
 import jax.numpy as jnp
 from jax import lax
 
-_COLLECT_STACK: list[list] = []
-_FORCE_EXACT = 0
+
+class _TraceState(threading.local):
+    def __init__(self):
+        self.collect_stack: list[list] = []
+        self.force_exact: int = 0
+        self.probe_stack: list[list] = []
+
+
+_STATE = _TraceState()
 
 
 def deferring() -> bool:
     """True while tracing inside a collect() context (and not force_exact)."""
-    return bool(_COLLECT_STACK) and not _FORCE_EXACT
+    return bool(_STATE.collect_stack) and not _STATE.force_exact
 
 
 def forcing_exact() -> bool:
     """True while tracing the exact-recompute branch."""
-    return bool(_FORCE_EXACT)
+    return bool(_STATE.force_exact)
 
 
 def record(ok) -> None:
     """Called by windowed dispatches in deferred mode with their predicate."""
-    _COLLECT_STACK[-1].append(ok)
+    _STATE.collect_stack[-1].append(ok)
 
 
 @contextlib.contextmanager
 def collect():
     oks: list = []
-    _COLLECT_STACK.append(oks)
+    _STATE.collect_stack.append(oks)
     try:
         yield oks
     finally:
-        _COLLECT_STACK.pop()
+        _STATE.collect_stack.pop()
 
 
 @contextlib.contextmanager
 def force_exact():
-    global _FORCE_EXACT
-    _FORCE_EXACT += 1
+    _STATE.force_exact += 1
     try:
         yield
     finally:
-        _FORCE_EXACT -= 1
+        _STATE.force_exact -= 1
 
 
 def all_ok(oks):
@@ -113,18 +121,15 @@ def with_forced_exact(fn):
     return wrapped
 
 
-_PROBE_STACK: list[list] = []
-
-
 def probing() -> bool:
     """True while tracing inside a `with_radius_probe` wrapper."""
-    return bool(_PROBE_STACK)
+    return bool(_STATE.probe_stack)
 
 
 def record_needed(r) -> None:
     """Called by windowed dispatch sites in probe mode with the scalar
     minimum window radius their current operands require."""
-    _PROBE_STACK[-1].append(r)
+    _STATE.probe_stack[-1].append(r)
 
 
 def with_radius_probe(fn):
@@ -141,11 +146,11 @@ def with_radius_probe(fn):
     @wraps(fn)
     def wrapped(*args):
         needs: list = []
-        _PROBE_STACK.append(needs)
+        _STATE.probe_stack.append(needs)
         try:
             out = fn(*args)
         finally:
-            _PROBE_STACK.pop()
+            _STATE.probe_stack.pop()
         needed = (jnp.stack(needs) if needs
                   else jnp.zeros((0, 2), jnp.int32))
         return out, needed

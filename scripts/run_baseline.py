@@ -201,15 +201,19 @@ def train_seg_net():
                       or 0) >= SEG_STEPS:
         print("seg net already trained (fingerprint match)")
         return
+    # record the fingerprint BEFORE training: train_seg resumes from its
+    # latest checkpoint, so a killed run must keep its draw attribution or
+    # the next invocation mis-archives the partial net as a stale draw
+    # (this happened: an OOM kill at step 5000/6000 cost the whole run)
+    os.makedirs(out, exist_ok=True)
+    with open(fp_file, "w") as f:
+        f.write(data_fp + "\n")
     sh([sys.executable, "train_seg.py",
         "-c", "configs/seg_x16_superhuman.yml",
         "--raw", os.path.join(DATA, "train_raw.h5"),
         "--labels", os.path.join(DATA, "train_labels.h5"),
         "--steps", str(SEG_STEPS), "--batch", "2", "--out", out,
         "--save-every", "1000"])
-    os.makedirs(out, exist_ok=True)
-    with open(fp_file, "w") as f:
-        f.write(data_fp + "\n")
 
 
 HR_ORACLE_VOI_GATE = float(os.environ.get("GPEMSR_HR_VOI_GATE", "1.5"))
