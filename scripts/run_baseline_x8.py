@@ -19,22 +19,32 @@ from gpemsr_tpu.core.platform import init_platform  # noqa: E402
 init_platform()
 
 DATA = os.path.join(ROOT, "dataset", "synth")
-RUNS = os.path.join(ROOT, "runs", "baseline")
-SR_DIR = os.path.join(DATA, "test", "SR", "x8")
+# GPEMSR_BASELINE_SUFFIX="_v3" selects configs/baseline_*_x8_v3.yml, roots
+# runs under runs/baseline_v3 (reusing its stage-1), and writes SR sections
+# to test/SR_v3/x8 — same convention as run_baseline.py.
+SUFFIX = os.environ.get("GPEMSR_BASELINE_SUFFIX", "")
+RUNS = os.path.join(ROOT, "runs", "baseline" + SUFFIX)
+SEG_RUNS = os.path.join(ROOT, "runs", "baseline")   # protocol seg net (HR)
+SR_DIR = os.path.join(DATA, "test", "SR" + SUFFIX, "x8")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import run_baseline as rb  # noqa: E402
 from run_baseline import ckpt_done, record, sh  # noqa: E402
+
+# share the x16 pipeline's results file + skip logic for this suffix
+rb.RUNS = RUNS
+rb.RESULTS = os.path.join(RUNS, "RESULTS.json")
 
 
 def train_stages():
-    if not ckpt_done("baseline_stage2_x8"):
+    if not ckpt_done("baseline_stage2_x8", f"baseline_stage2_x8{SUFFIX}.yml"):
         sh([sys.executable, "train_stage2.py",
-            "-opt", "configs/baseline_stage2_x8.yml",
+            "-opt", f"configs/baseline_stage2_x8{SUFFIX}.yml",
             "--stage1-ckpt", os.path.join(RUNS, "baseline_stage1",
                                           "checkpoints")])
-    if not ckpt_done("baseline_stage3_x8"):
+    if not ckpt_done("baseline_stage3_x8", f"baseline_stage3_x8{SUFFIX}.yml"):
         sh([sys.executable, "train_stage3.py",
-            "-opt", "configs/baseline_stage3_x8.yml",
+            "-opt", f"configs/baseline_stage3_x8{SUFFIX}.yml",
             "--prior-ckpt", os.path.join(RUNS, "baseline_stage2_x8",
                                          "checkpoints")])
 
@@ -54,7 +64,7 @@ def export_sr():
         from gpemsr_tpu.utils.image import read_img
 
         cfg = load_yaml(os.path.join(ROOT, "configs",
-                                     "baseline_stage3_x8.yml"),
+                                     f"baseline_stage3_x8{SUFFIX}.yml"),
                         ExperimentConfig)
         payload = ckpt.restore(os.path.join(RUNS, "baseline_stage3_x8",
                                             "checkpoints"))
@@ -96,9 +106,21 @@ def seg_eval():
     from gpemsr_tpu.models.seg.superhuman import UNetSuperhuman
     from gpemsr_tpu.seg.inference import evaluate_segmentation, load_labels
 
+    # the protocol seg net is trained on HR only (scale-independent); the
+    # x16 pipeline (run_baseline.py::seg_eval) must already have recorded a
+    # passing HR-oracle gate for this net + draw before x8 numbers count
+    import json
+    with open(rb.RESULTS) as f:
+        res = json.load(f)
+    if "seg_hr" not in res:
+        raise RuntimeError(
+            "no HR-oracle record in RESULTS.json — run the x16 seg phase "
+            "(run_baseline.py --phase seg) first; its VOI gate qualifies "
+            "the protocol seg net this x8 eval reuses")
     cfg = load_yaml(os.path.join(ROOT, "configs", "seg_x8_superhuman.yml"),
                     SegConfig)
-    payload = ckpt.restore(os.path.join(RUNS, "seg_superhuman", "checkpoints"))
+    payload = ckpt.restore(os.path.join(SEG_RUNS, "seg_superhuman",
+                                        "checkpoints"))
     variables = {"params": payload["params"],
                  "batch_stats": payload["batch_stats"]}
     model = UNetSuperhuman(filters=tuple(cfg.model.filters),
