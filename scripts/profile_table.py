@@ -58,12 +58,15 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from __graft_entry__ import _flagship_cfg
-    from gpemsr_tpu.core.config import GPEMSRConfig
+    from gpemsr_tpu.core.config import GPEMSRConfig, PriorConfig
     from gpemsr_tpu.models.gpemsr import GPEMSR
     from gpemsr_tpu.utils.precision import bf16_inference
 
     scale = 8 if args.x8 else 16
-    cfg = _flagship_cfg() if scale == 16 else GPEMSRConfig(scale=8)
+    # x8 needs the prior's scale too (Indexer8's extra DownBlock) — same
+    # construction as bench.py::bench_sr
+    cfg = (_flagship_cfg() if scale == 16
+           else GPEMSRConfig(scale=8, prior=PriorConfig(scale=8)))
     model = GPEMSR(cfg)
     h = w = 1024 // scale
     rng = np.random.default_rng(0)
