@@ -35,6 +35,7 @@ def main():
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     batch = int(args[0]) if args else 2
+    x8 = "--x8" in sys.argv
     compute_dtype = jnp.bfloat16 if "--bf16" in sys.argv else jnp.float32
     stage = 3
     if "--stage" in sys.argv:
@@ -44,6 +45,19 @@ def main():
         trace_dir = sys.argv[sys.argv.index("--trace") + 1]
         os.makedirs(trace_dir, exist_ok=True)
     cfg = _flagship_cfg()
+    if x8:
+        # stage-3 x8 training shapes (option/train_stage3_x8.yml: GT 256^2,
+        # LQ 32^2): the L1 feature map is 32^2=1024 px, so the dense-path
+        # threshold must cover it or training falls onto the serving-oriented
+        # windowed/guarded DCN path (see configs/baseline_stage3_x8_v3.yml)
+        import dataclasses
+
+        from gpemsr_tpu.core.config import PriorConfig
+        dt = 1024
+        if "--dense-threshold" in sys.argv:
+            dt = int(sys.argv[sys.argv.index("--dense-threshold") + 1])
+        cfg = dataclasses.replace(cfg, scale=8, prior=PriorConfig(scale=8),
+                                  dcn_dense_threshold=dt)
     tcfg = TrainConfig(ref_loss_factor=0.01)
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
@@ -108,8 +122,9 @@ def main():
                 _ = float(m["ce_loss"])
     else:
         from gpemsr_tpu.train.stage3 import init_stage3, make_stage3_step
+        lq_size = 32 if x8 else 16
         lq = jnp.asarray(rng.uniform(
-            0, 1, (batch, 5, 16, 16, 1)).astype(np.float32))
+            0, 1, (batch, 5, lq_size, lq_size, 1)).astype(np.float32))
         gt = jnp.asarray(rng.uniform(
             0, 1, (batch, 256, 256, 1)).astype(np.float32))
         t0 = time.perf_counter()
