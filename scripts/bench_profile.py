@@ -11,7 +11,9 @@ Segments:
   stream  — feats + window = steady-state cost per output section (streaming)
   full    — whole 5-frame window forward (the reference's per-window cost)
 
-Usage: python scripts/bench_profile.py [--f32] [--iters=N]
+Usage: python scripts/bench_profile.py [--f32] [--iters=N] [--x8]
+         [--window-radius=R] [--coarse-radius=R] [--dense-threshold=T]
+(the kernel-tuning flags apply to the --x8 config only)
 """
 
 from __future__ import annotations
@@ -45,9 +47,26 @@ def main():
         if a.startswith("--iters="):
             iters = int(a.split("=")[1])
 
-    cfg = _flagship_cfg()
+    scale = 8 if "--x8" in sys.argv else 16
+    if scale == 8:
+        import dataclasses
+
+        from gpemsr_tpu.core.config import GPEMSRConfig, PriorConfig
+        cfg = GPEMSRConfig(scale=8, prior=PriorConfig(scale=8))
+        for a in sys.argv[1:]:
+            if a.startswith("--window-radius="):
+                cfg = dataclasses.replace(
+                    cfg, dcn_window_radius=int(a.split("=")[1]))
+            if a.startswith("--coarse-radius="):
+                cfg = dataclasses.replace(
+                    cfg, dcn_coarse_window_radius=int(a.split("=")[1]))
+            if a.startswith("--dense-threshold="):
+                cfg = dataclasses.replace(
+                    cfg, dcn_dense_threshold=int(a.split("=")[1]))
+    else:
+        cfg = _flagship_cfg()
     model = GPEMSR(cfg)
-    h = w = 64
+    h = w = 1024 // scale
     lq0 = jnp.zeros((1, 5, 16, 16, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), lq0)
 
@@ -101,21 +120,21 @@ def main():
                    for t_ in feats_tuple)
         return win_fn(ft, lq)
 
-    t = (timed_chain(win_step, jnp.zeros((1, h * 16, w * 16, 1), jnp.float32),
+    t = (timed_chain(win_step, jnp.zeros((1, h * scale, w * scale, 1), jnp.float32),
                      iters=iters) - oh) / iters
     print(f"window: {t*1e3:8.2f} ms/section")
     t_win = t
 
     stream = t_feats + t_win
     print(f"stream: {stream*1e3:8.2f} ms/section -> "
-          f"{(h*16)*(w*16)/1e6/stream:6.2f} MPix/s")
+          f"{(h*scale)*(w*scale)/1e6/stream:6.2f} MPix/s")
 
     def full_step(c):
         return full_fn(lq + dep(c))
 
-    t = (timed_chain(full_step, jnp.zeros((1, h * 16, w * 16, 1), jnp.float32),
+    t = (timed_chain(full_step, jnp.zeros((1, h * scale, w * scale, 1), jnp.float32),
                      iters=iters) - oh) / iters
-    print(f"full  : {t*1e3:8.2f} ms/window -> {(h*16)*(w*16)/1e6/t:6.2f} MPix/s")
+    print(f"full  : {t*1e3:8.2f} ms/window -> {(h*scale)*(w*scale)/1e6/t:6.2f} MPix/s")
 
 
 if __name__ == "__main__":

@@ -95,6 +95,20 @@ def export_sr():
     record("sr_psnr_x8", round(float(np.mean(ps)), 4))
     record("sr_ssim_x8", round(float(np.mean(ss)), 5))
 
+    # bicubic floor at x8 for context (same role as bicubic_psnr at x16)
+    from gpemsr_tpu.data.resize import imresize_np
+    ps = []
+    lr_dir = os.path.join(DATA, "test", "LR8")
+    for f in sorted(os.listdir(lr_dir)):
+        if not f.endswith(".png"):
+            continue
+        lr = np.asarray(Image.open(os.path.join(lr_dir, f))).astype(np.float32)
+        up = imresize_np(lr / 255.0, 8.0)
+        up = np.clip(np.round(up * 255), 0, 255).astype(np.uint8)
+        gt = np.asarray(Image.open(os.path.join(gt_dir, f)))
+        ps.append(calculate_psnr(up, gt))
+    record("bicubic_psnr_x8", round(float(np.mean(ps)), 4))
+
 
 def seg_eval():
     import numpy as np

@@ -66,6 +66,15 @@ def main():
         model = UNETR(out_planes=cfg.model.output_nc)
         crop = (18, 160, 160)
 
+    # volumes smaller than the training crop (e.g. MALA's 53-z valid-conv
+    # crop on a 40-z volume) are reflect-padded, the same boundary treatment
+    # the protocol applies at eval (provider_valid.py:154-160 reflect pad)
+    pad = [(0, max(0, c - s)) for c, s in zip(crop, raw.shape)]
+    if any(p1 for _, p1 in pad):
+        logger.info("reflect-padding volume %s -> crop %s", raw.shape, crop)
+        raw = np.pad(raw, pad, mode="reflect")
+        labels = np.pad(labels, pad, mode="reflect")
+
     provider = SegTrainProvider(raw, labels, crop_size=crop,
                                 widen_border=cfg.data.widen_way)
     sample = jnp.zeros((args.batch,) + crop + (1,), jnp.float32)
