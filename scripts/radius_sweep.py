@@ -71,6 +71,11 @@ def main():
 
     ids = sorted(int(os.path.splitext(f)[0]) for f in os.listdir(lr_dir)
                  if f.endswith(".png"))
+    if "--limit" in sys.argv:
+        # probe a z-prefix only — the CPU gather path over every section of
+        # an x8 stack is hours of compute and ~half the host RAM; a dozen
+        # sections bound the radius just as well for sizing purposes
+        ids = ids[:int(sys.argv[sys.argv.index("--limit") + 1])]
     stack = np.stack([read_img(os.path.join(lr_dir, f"{i}.png"))
                       for i in ids], 0)
     Z = stack.shape[0]

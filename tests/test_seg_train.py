@@ -234,3 +234,23 @@ def test_se_layers_shapes_and_gating(rng):
     # train-mode BN updates batch_stats
     y, mut = blk.apply(v, x, train=True, mutable=["batch_stats"])
     assert "batch_stats" in mut
+
+
+def test_pad_to_crop_reflect(rng):
+    """Volumes smaller than the training crop are reflect-padded (MALA's
+    53-z valid-conv crop vs the 40-z synthetic train volume; reference
+    provider_valid.py:154-160 applies the same reflect boundary)."""
+    from train_seg import pad_to_crop
+
+    raw = rng.integers(0, 255, (40, 64, 48)).astype(np.uint8)
+    lab = rng.integers(1, 9, (40, 64, 48)).astype(np.uint32)
+    r2, l2 = pad_to_crop(raw, lab, (53, 60, 64))
+    assert r2.shape == (53, 64, 64) and l2.shape == (53, 64, 64)
+    # reflect semantics in z: slice Z+k mirrors slice Z-2-k
+    np.testing.assert_array_equal(r2[40, :, :48], raw[38])
+    np.testing.assert_array_equal(l2[52, :, :48], lab[26])
+    # untouched dims and the original contents are preserved
+    np.testing.assert_array_equal(r2[:40, :, :48], raw)
+    # no-op when the volume already covers the crop
+    r3, l3 = pad_to_crop(raw, lab, (18, 60, 40))
+    assert r3.shape == raw.shape and r3 is raw and l3 is lab

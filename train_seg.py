@@ -23,6 +23,18 @@ def _load_h5(path, key="main"):
         return f[key][:]
 
 
+def pad_to_crop(raw, labels, crop):
+    """Reflect-pad (raw, labels) up to the training crop in any dim that is
+    smaller (e.g. MALA's 53-z valid-conv crop on a 40-z volume) — the same
+    boundary treatment the eval protocol applies to valid-conv nets
+    (reference provider_valid.py:154-160 reflect pad)."""
+    pad = [(0, max(0, c - s)) for c, s in zip(crop, raw.shape)]
+    if any(p1 for _, p1 in pad):
+        raw = np.pad(raw, pad, mode="reflect")
+        labels = np.pad(labels, pad, mode="reflect")
+    return raw, labels
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -66,14 +78,9 @@ def main():
         model = UNETR(out_planes=cfg.model.output_nc)
         crop = (18, 160, 160)
 
-    # volumes smaller than the training crop (e.g. MALA's 53-z valid-conv
-    # crop on a 40-z volume) are reflect-padded, the same boundary treatment
-    # the protocol applies at eval (provider_valid.py:154-160 reflect pad)
-    pad = [(0, max(0, c - s)) for c, s in zip(crop, raw.shape)]
-    if any(p1 for _, p1 in pad):
+    if any(s < c for s, c in zip(raw.shape, crop)):
         logger.info("reflect-padding volume %s -> crop %s", raw.shape, crop)
-        raw = np.pad(raw, pad, mode="reflect")
-        labels = np.pad(labels, pad, mode="reflect")
+    raw, labels = pad_to_crop(raw, labels, crop)
 
     provider = SegTrainProvider(raw, labels, crop_size=crop,
                                 widen_border=cfg.data.widen_way)
