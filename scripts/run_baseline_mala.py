@@ -97,7 +97,7 @@ def seg_eval():
     payload = ckpt.restore(os.path.join(seg_dir, "checkpoints"))
     seg_step = int(payload.get("step", 0))
     variables = {"params": payload["params"]}
-    if "batch_stats" in payload:
+    if payload.get("batch_stats") is not None:   # MALA has no BN: key is None
         variables["batch_stats"] = payload["batch_stats"]
     model = UNetMALA(out_planes=cfg.model.output_nc,
                      if_sigmoid=cfg.model.if_sigmoid)
