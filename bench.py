@@ -85,7 +85,18 @@ def bench_sr(scale=16, use_bf16=True, streaming=True, batch=1, iters=6,
 
     if scale == 8:
         from gpemsr_tpu.core.config import GPEMSRConfig, PriorConfig
-        cfg = GPEMSRConfig(scale=8, prior=PriorConfig(scale=8))
+        # Radii sized so the TRAINED x8 checkpoint's offsets hit the guard
+        # (scripts/radius_sweep.py --offline over all 48 test sections:
+        # L2/L3 (3,3), L1 (3,3), cascade (7,5)) — benching a window the
+        # production weights would overflow on every section would time the
+        # always-hit path that serving never takes. At these 128^2 L1 maps
+        # the cascade's (7,5) window still beats the slab fallback ~6x;
+        # dense is quadratic-infeasible here (it IS the right crossover at
+        # the 64^2 protocol maps — configs/baseline_stage3_x8*.yml use -1).
+        cfg = GPEMSRConfig(scale=8, prior=PriorConfig(scale=8),
+                           dcn_window_radius=3,
+                           dcn_coarse_window_radius=3,
+                           dcn_cascade_window_radius=(7, 5))
     else:
         cfg = _flagship_cfg()
     if cfg_overrides:
@@ -313,6 +324,15 @@ def suite():
          v16 / A100_BASELINE_MPIX_S)
 
 
+def _parse_radius_flag(a):
+    """--foo-radius=4 -> 4; --foo-radius=7,5 -> (7, 5) anisotropic."""
+    v = a.split("=")[1]
+    if "," in v:
+        ry, rx = v.split(",")
+        return (int(ry), int(rx))
+    return int(v)
+
+
 def main():
     _setup()
     argv = sys.argv[1:]
@@ -337,9 +357,9 @@ def main():
         if a.startswith("--dense-threshold="):
             overrides["dcn_dense_threshold"] = int(a.split("=")[1])
         if a.startswith("--window-radius="):
-            overrides["dcn_window_radius"] = int(a.split("=")[1])
+            overrides["dcn_window_radius"] = _parse_radius_flag(a)
         if a.startswith("--cascade-radius="):
-            overrides["dcn_cascade_window_radius"] = int(a.split("=")[1])
+            overrides["dcn_cascade_window_radius"] = _parse_radius_flag(a)
     if "--defer-guards" in argv:
         kw["guard_mode"] = "defer"
     if overrides:

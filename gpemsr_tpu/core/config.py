@@ -124,13 +124,16 @@ class GPEMSRConfig:
     # takes the windowed kernel — an r4 trace measured the dense L2 einsum at
     # 2.29 ms/section, as costly as the windowed L1 at 4x the pixels.
     dcn_dense_threshold: int = 512
-    dcn_window_radius: int = 4
+    # Each radius is an int (symmetric) or a [Ry, Rx] pair (anisotropic
+    # window, ops/dcn_pallas.py::parse_radius) — the trained x8 checkpoint's
+    # cascade probes at (6, 4), and kernel cost ~ (2Ry+1)*(2Rx+1).
+    dcn_window_radius: int | tuple = 4
     # L3/L2 align against flow-guided offsets that the coarse pyramid has
     # already mostly absorbed: the trained-v3 radius probe measured per-call
     # needs of (2,2) at L3 and L2 vs (4,4) at L1 over 1024^2 serving sections
     # (scripts/radius_sweep.py --offline --dense-threshold 128). Guards fall
     # back to the exact path on any content that exceeds the window.
-    dcn_coarse_window_radius: int = 2
+    dcn_coarse_window_radius: int | tuple = 2
     # The cascade DCN refines features the L1 DCN already aligned, so its
     # residual offsets are small by construction: a radius-probe of the
     # trained v3 checkpoint over 1024^2 serving sections measured per-call
@@ -138,8 +141,17 @@ class GPEMSRConfig:
     # (scripts/radius_sweep.py --offline). r=2 runs the cascade's windowed
     # kernel over 25 shifts instead of 81; the exactness guard still falls
     # back to the gather path on any content that exceeds it.
-    dcn_cascade_window_radius: int = 2
+    dcn_cascade_window_radius: int | tuple = 2
     prior: PriorConfig = field(default_factory=PriorConfig)
+
+    def __post_init__(self):
+        # YAML pairs arrive as lists; radii ride through jit/custom_vjp as
+        # static arguments and must be hashable
+        for f_ in ("dcn_window_radius", "dcn_coarse_window_radius",
+                   "dcn_cascade_window_radius"):
+            v = getattr(self, f_)
+            if isinstance(v, list):
+                setattr(self, f_, tuple(int(r) for r in v))
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,7 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
                   kernel_size: int = 3, padding: int = 1,
                   deformable_groups: int = 8,
                   dense_threshold: int = 1024,
-                  window_radius: int = 0,
+                  window_radius: int | tuple = 0,
                   conv_precision=None,
                   sample_dtype=None) -> jax.Array:
     """NHWC modulated deformable conv, stride 1, dilation 1.
@@ -50,7 +50,14 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
           Pallas windowed kernel (if window_radius > 0, TPU only) or the
           slab-gather path.
       window_radius: displacement window radius for the Pallas kernel
-          (ops/dcn_pallas.py). 0 disables. When enabled, a cheap predicate
+          (ops/dcn_pallas.py) — an int (symmetric) or (Ry, Rx) for an
+          anisotropic window (dcn_pallas.parse_radius). 0 disables (XLA
+          dense/slab crossover by dense_threshold). -1 forces the dense
+          one-hot path regardless of dense_threshold: exact with no guard,
+          and the right crossover for mid-size maps whose trained offsets
+          overflow any cheap window (the x8 cascade probes at (7,5) = 165
+          shifts ~ 15 ms at 64^2 maps vs dense 13.7 ms). When
+          enabled, a cheap predicate
           `lax.cond`s every call to the exact gather path whenever any
           non-zero bilinear corner falls outside the window, so semantics
           stay exact for arbitrary offsets. Differentiable: the backward pass
@@ -65,7 +72,14 @@ def deform_conv2d(x: jax.Array, offset: jax.Array, mask: jax.Array | None,
           which adds nothing numerically).
     """
     B, H, W, Cin = x.shape
-    if window_radius > 0 and H * W > dense_threshold:
+    if isinstance(window_radius, (tuple, list)):
+        window_radius = tuple(int(r) for r in window_radius)  # hashable
+        r_min = min(window_radius)
+    else:
+        r_min = window_radius
+    if r_min == -1:
+        dense_threshold = H * W      # force the dense one-hot path
+    if r_min > 0 and H * W > dense_threshold:
         from gpemsr_tpu.ops import dcn_pallas, guard
         if guard.probing():
             # radius-probe mode (guard.with_radius_probe): record the minimum

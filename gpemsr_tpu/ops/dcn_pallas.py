@@ -145,14 +145,29 @@ def _dcn_kernel(ry_ref, rx_ref, wy0_ref, wy1_ref, wx0_ref, wx1_ref,
 INTERPRET = False
 
 
+def parse_radius(radius):
+    """(Ry, Rx) from an int (symmetric) or a 2-sequence (anisotropic).
+
+    Serial-section EM motion is anisotropic in practice — the trained x8
+    checkpoint probes at (Ry, Rx) = (6, 4) for its cascade DCN — and kernel
+    cost is ~(2Ry+1)*(2Rx+1), so per-axis sizing buys a real cut (117 vs 169
+    shifts there). Returns plain ints (hashable: the radius rides through
+    jit/custom_vjp as a static argument)."""
+    if isinstance(radius, (tuple, list)):
+        ry, rx = radius
+        return int(ry), int(rx)
+    return int(radius), int(radius)
+
+
 def deform_conv2d_windowed(x, offset, mask, weight, bias=None,
                            kernel_size=3, padding=1, deformable_groups=8,
                            radius=6, sample_dtype=jnp.bfloat16,
                            interpret=None):
     """Windowed Pallas DCNv2 forward. Exact iff all non-zero bilinear corners
-    fall in the (2*radius+1)^2 displacement window (see module docstring);
-    use `ops/dcn.py::deform_conv2d` with window_radius > 0 for the guarded
-    (and differentiable) variant.
+    fall in the (2*Ry+1) x (2*Rx+1) displacement window (see module
+    docstring); `radius` is an int (symmetric) or (Ry, Rx) — see
+    `parse_radius`. Use `ops/dcn.py::deform_conv2d` with window_radius > 0
+    for the guarded (and differentiable) variant.
 
     x [B,H,W,C]; offset [B,H,W,2*G*K] torch-interleaved (dy,dx); mask
     [B,H,W,G*K] pre-sigmoid-activated or None; weight [K,Cin,Cout]."""
@@ -163,7 +178,7 @@ def deform_conv2d_windowed(x, offset, mask, weight, bias=None,
     G = deformable_groups
     Cg = Cin // G
     R = H * W
-    Ru = Rv = int(radius)
+    Ru, Rv = parse_radius(radius)
     PW = (Ru + 1) * W
 
     TP = 256
@@ -244,7 +259,7 @@ def window_ok(offset, mask, kernel_size=3, padding=1, deformable_groups=8,
     wy1 = fy * vy1 * m
     wx0 = (1 - fx) * vx0
     wx1 = fx * vx1
-    Ru = Rv = int(radius)
+    Ru, Rv = parse_radius(radius)
     # Two-sided bounds per corner: the kernel accumulates corner 0 only at
     # displacements u == ry with u in [-Ru, Ru] and corner 1 only at
     # u == ry + 1 in the same range, so each corner must lie fully inside the

@@ -122,3 +122,52 @@ def test_grad_through_windowed_dispatch(rng, interpret_mode):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rw),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_anisotropic_radius_matches_gather(rng, interpret_mode):
+    """(Ry, Rx) windows: exact whenever y-corners fit Ry and x-corners fit
+    Rx — the trained x8 checkpoint's cascade probes at (6, 4), so per-axis
+    sizing is a production configuration, not a corner case."""
+    x, offset, mask, w, b = _rand_case(rng, H=16, W=16)
+    K = 9
+    off = np.asarray(offset).reshape(1, 16, 16, 4, K, 2).copy()
+    off[..., 0] = np.clip(off[..., 0] * 3.0, -4.4, 4.4)   # dy within Ry=6
+    off[..., 1] = np.clip(off[..., 1], -1.4, 1.4)         # dx within Rx=3
+    offset = jnp.asarray(off.reshape(1, 16, 16, 2 * 4 * K))
+    assert bool(window_ok(offset, mask, deformable_groups=4, radius=(6, 3),
+                          H=16, W=16))
+    # the same offsets overflow a symmetric window of the x size
+    assert not bool(window_ok(offset, mask, deformable_groups=4, radius=3,
+                              H=16, W=16))
+    out = deform_conv2d_windowed(x, offset, mask, w, b, deformable_groups=4,
+                                 radius=(6, 3), sample_dtype=jnp.float32)
+    ref = _deform_conv2d_xla(x, offset, mask, w, b, deformable_groups=4,
+                             dense_threshold=0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_anisotropic_radius_guarded_dispatch(rng, interpret_mode):
+    """deform_conv2d accepts a (Ry, Rx) window_radius end-to-end (guard +
+    kernel + gather fallback) and stays exact on both guard outcomes."""
+    x, offset, mask, w, b = _rand_case(rng, H=16, W=16)
+    ref = _deform_conv2d_xla(x, offset, mask, w, b, deformable_groups=4,
+                             dense_threshold=0)
+    for radius in ((6, 3), (2, 5)):
+        out = deform_conv2d(x, offset, mask, w, b, deformable_groups=4,
+                            dense_threshold=0, window_radius=radius,
+                            sample_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_force_dense_radius(rng):
+    """window_radius=-1 forces the dense one-hot path regardless of
+    dense_threshold — exact, guard-free (the x8 protocol cascade crossover)."""
+    x, offset, mask, w, b = _rand_case(rng)
+    ref = _deform_conv2d_xla(x, offset, mask, w, b, deformable_groups=4,
+                             dense_threshold=10 ** 9)   # dense reference
+    out = deform_conv2d(x, offset, mask, w, b, deformable_groups=4,
+                        dense_threshold=0, window_radius=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
