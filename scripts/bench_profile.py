@@ -52,14 +52,26 @@ def main():
         import dataclasses
 
         from gpemsr_tpu.core.config import GPEMSRConfig, PriorConfig
-        cfg = GPEMSRConfig(scale=8, prior=PriorConfig(scale=8))
+
+        def _radius(a):
+            v = a.split("=")[1]
+            return (tuple(int(r) for r in v.split(","))
+                    if "," in v else int(v))
+
+        # probed trained-x8-checkpoint serving radii — match bench.py
+        cfg = GPEMSRConfig(scale=8, prior=PriorConfig(scale=8),
+                           dcn_window_radius=3,
+                           dcn_coarse_window_radius=3,
+                           dcn_cascade_window_radius=(7, 5))
         for a in sys.argv[1:]:
             if a.startswith("--window-radius="):
-                cfg = dataclasses.replace(
-                    cfg, dcn_window_radius=int(a.split("=")[1]))
+                cfg = dataclasses.replace(cfg, dcn_window_radius=_radius(a))
             if a.startswith("--coarse-radius="):
                 cfg = dataclasses.replace(
-                    cfg, dcn_coarse_window_radius=int(a.split("=")[1]))
+                    cfg, dcn_coarse_window_radius=_radius(a))
+            if a.startswith("--cascade-radius="):
+                cfg = dataclasses.replace(
+                    cfg, dcn_cascade_window_radius=_radius(a))
             if a.startswith("--dense-threshold="):
                 cfg = dataclasses.replace(
                     cfg, dcn_dense_threshold=int(a.split("=")[1]))

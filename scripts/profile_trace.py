@@ -46,7 +46,11 @@ def main():
 
         if "--x8" in sys.argv:
             from gpemsr_tpu.core.config import GPEMSRConfig, PriorConfig
-            cfg = GPEMSRConfig(scale=8, prior=PriorConfig(scale=8))
+            # probed trained-x8 serving radii — match bench.py's x8 config
+            cfg = GPEMSRConfig(scale=8, prior=PriorConfig(scale=8),
+                               dcn_window_radius=3,
+                               dcn_coarse_window_radius=3,
+                               dcn_cascade_window_radius=(7, 5))
         else:
             cfg = _flagship_cfg()
         model = GPEMSR(cfg)
