@@ -40,8 +40,10 @@ ART = os.path.join(ROOT, "artifacts", "baseline" + SUFFIX)
 # run on purpose — it is trained on HR only and shared between baselines.
 STAGES = [
     (os.path.join("runs", "baseline" + SUFFIX, s), s)
-    for s in ("baseline_stage1", "baseline_stage2", "baseline_stage3")
-] + [(os.path.join("runs", "baseline", "seg_superhuman"), "seg_superhuman")]
+    for s in ("baseline_stage1", "baseline_stage2", "baseline_stage3",
+              "baseline_stage2_x8", "baseline_stage3_x8")
+] + [(os.path.join("runs", "baseline", "seg_superhuman"), "seg_superhuman"),
+     (os.path.join("runs", "baseline", "seg_mala"), "seg_mala")]
 
 
 def _copy_step(src_ckpts: str, dst_ckpts: str, step: int, prune: bool = False):
